@@ -1,0 +1,153 @@
+"""Field specification for TPU limb arithmetic.
+
+The reference (gnark) relies on gnark-crypto's per-curve generated Montgomery
+arithmetic over 4x64-bit limbs with x86-64 assembly (see SURVEY.md §2.5;
+reference call sites e.g. /root/reference/constraint/bn254/solver.go:35).
+
+TPUs have no 64-bit integer datapath; the VPU operates on 32-bit lanes with a
+32x32->low-32 multiplier. We therefore represent field elements as N limbs of
+16 bits each, stored in uint32 arrays, so that a 16x16->32-bit product fits a
+lane without overflow and column sums of up to ~2^6 partial products stay well
+below 2^32. Montgomery arithmetic uses word size W = 2^16 (CIOS-style
+column-accumulation REDC, unrolled at trace time).
+
+Instead of gnark's 8x per-curve code generation
+(/root/reference/internal/generator/backend/main.go), every field is described
+by a single `FieldSpec` dataclass and all kernels close over it.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+
+import numpy as np
+
+LIMB_BITS = 16
+LIMB_MASK = (1 << LIMB_BITS) - 1
+
+
+def int_to_limbs(x: int, n_limbs: int) -> np.ndarray:
+    """Little-endian base-2^16 limbs of x as uint32 numpy array."""
+    x = int(x)
+    assert 0 <= x < (1 << (LIMB_BITS * n_limbs)), "value out of limb range"
+    out = np.empty((n_limbs,), dtype=np.uint32)
+    for i in range(n_limbs):
+        out[i] = x & LIMB_MASK
+        x >>= LIMB_BITS
+    return out
+
+
+def limbs_to_int(limbs) -> int:
+    limbs = np.asarray(limbs)
+    x = 0
+    for i in range(limbs.shape[-1] - 1, -1, -1):
+        x = (x << LIMB_BITS) | int(limbs[..., i])
+    return x
+
+
+def ints_to_limbs(xs, n_limbs: int) -> np.ndarray:
+    """Vectorized: list of ints -> (len(xs), n_limbs) uint32."""
+    out = np.empty((len(xs), n_limbs), dtype=np.uint32)
+    for j, x in enumerate(xs):
+        x = int(x)
+        for i in range(n_limbs):
+            out[j, i] = x & LIMB_MASK
+            x >>= LIMB_BITS
+    return out
+
+
+def limbs_to_ints(arr) -> list[int]:
+    arr = np.asarray(arr)
+    flat = arr.reshape(-1, arr.shape[-1])
+    out = []
+    for row in flat:
+        x = 0
+        for i in range(arr.shape[-1] - 1, -1, -1):
+            x = (x << LIMB_BITS) | int(row[i])
+        out.append(x)
+    return out
+
+
+@dataclass(frozen=True)
+class FieldSpec:
+    """All host-side constants needed for limb arithmetic mod `modulus`.
+
+    Montgomery radix R = 2^(LIMB_BITS * n_limbs); elements on device are kept
+    in Montgomery form (x*R mod p), matching gnark-crypto's convention
+    (reference: backend/groth16/bn254/setup.go:128 notes Montgomery form).
+    """
+
+    name: str
+    modulus: int
+    n_limbs: int
+    # derived (filled in __post_init__ via object.__setattr__)
+    r: int = field(init=False)
+    r2: int = field(init=False)
+    r3: int = field(init=False)
+    pprime: int = field(init=False)  # -p^-1 mod 2^16
+    one_mont: int = field(init=False)
+
+    def __post_init__(self):
+        p = self.modulus
+        nbits = LIMB_BITS * self.n_limbs
+        assert p < (1 << nbits)
+        # Montgomery REDC bound: need p < R/4 for lazy bounds; check p < R/2.
+        assert p < (1 << (nbits - 1)), "modulus too large for limb count"
+        r = (1 << nbits) % p
+        object.__setattr__(self, "r", r)
+        object.__setattr__(self, "r2", (r * r) % p)
+        object.__setattr__(self, "r3", (r * r * r) % p)
+        object.__setattr__(self, "pprime", (-pow(p, -1, 1 << LIMB_BITS)) % (1 << LIMB_BITS))
+        object.__setattr__(self, "one_mont", r % p)
+
+    # ---- host-side helpers -------------------------------------------------
+    @functools.cached_property
+    def p_limbs(self) -> np.ndarray:
+        return int_to_limbs(self.modulus, self.n_limbs)
+
+    def to_mont_int(self, x: int) -> int:
+        return (int(x) % self.modulus) * self.r % self.modulus
+
+    def from_mont_int(self, x: int) -> int:
+        return int(x) * pow(self.r, -1, self.modulus) % self.modulus
+
+    def encode(self, xs, mont: bool = True) -> np.ndarray:
+        """Python ints -> (len, n_limbs) uint32 limbs (Montgomery by default)."""
+        if mont:
+            xs = [self.to_mont_int(x) for x in xs]
+        else:
+            xs = [int(x) % self.modulus for x in xs]
+        return ints_to_limbs(xs, self.n_limbs)
+
+    def decode(self, arr, mont: bool = True) -> list[int]:
+        vals = limbs_to_ints(arr)
+        if mont:
+            inv_r = pow(self.r, -1, self.modulus)
+            return [v * inv_r % self.modulus for v in vals]
+        return [v % self.modulus for v in vals]
+
+
+# --- concrete fields --------------------------------------------------------
+
+# BN254 scalar field (order of G1/G2; the SNARK "fr").
+# reference: gnark-crypto ecc/bn254/fr, used at constraint/bn254/solver.go:35
+BN254_FR_MOD = 21888242871839275222246405745257275088548364400416034343698204186575808495617
+# BN254 base field ("fp"), coordinates of curve points.
+BN254_FP_MOD = 21888242871839275222246405745257275088696311157297823662689037894645226208583
+
+BN254_FR = FieldSpec("bn254_fr", BN254_FR_MOD, 16)
+BN254_FP = FieldSpec("bn254_fp", BN254_FP_MOD, 16)
+
+# BLS12-381 (second curve family in scope, SURVEY.md §7 step 9)
+BLS12_381_FR_MOD = 0x73EDA753299D7D483339D80809A1D80553BDA402FFFE5BFEFFFFFFFF00000001
+BLS12_381_FP_MOD = 0x1A0111EA397FE69A4B1BA7B6434BACD764774B84F38512BF6730D2A0F6B0F6241EABFFFEB153FFFFB9FEFFFFFFFFAAAB
+
+BLS12_381_FR = FieldSpec("bls12_381_fr", BLS12_381_FR_MOD, 16)
+BLS12_381_FP = FieldSpec("bls12_381_fp", BLS12_381_FP_MOD, 24)
+
+# Tiny field for exhaustive kernel tests — the analog of gnark's generated
+# tinyfield (modulus 0x2f) at /root/reference/internal/tinyfield/
+# (generated by internal/generator/backend/main.go:66-79).
+TINY_MOD = 0x2F
+TINY = FieldSpec("tiny", TINY_MOD, 2)  # 2 limbs so mont paths are exercised
