@@ -47,26 +47,19 @@ def limbs_to_int(limbs) -> int:
 
 
 def ints_to_limbs(xs, n_limbs: int) -> np.ndarray:
-    """Vectorized: list of ints -> (len(xs), n_limbs) uint32."""
-    out = np.empty((len(xs), n_limbs), dtype=np.uint32)
-    for j, x in enumerate(xs):
-        x = int(x)
-        for i in range(n_limbs):
-            out[j, i] = x & LIMB_MASK
-            x >>= LIMB_BITS
-    return out
+    """Vectorized: list of ints -> (len(xs), n_limbs) uint32 (via bytes)."""
+    nbytes = n_limbs * 2
+    buf = b"".join(int(x).to_bytes(nbytes, "little") for x in xs)
+    arr = np.frombuffer(buf, dtype="<u2").reshape(len(xs), n_limbs)
+    return arr.astype(np.uint32)
 
 
 def limbs_to_ints(arr) -> list[int]:
     arr = np.asarray(arr)
-    flat = arr.reshape(-1, arr.shape[-1])
-    out = []
-    for row in flat:
-        x = 0
-        for i in range(arr.shape[-1] - 1, -1, -1):
-            x = (x << LIMB_BITS) | int(row[i])
-        out.append(x)
-    return out
+    flat = np.ascontiguousarray(arr.reshape(-1, arr.shape[-1]).astype("<u2"))
+    nbytes = arr.shape[-1] * 2
+    b = flat.tobytes()
+    return [int.from_bytes(b[i * nbytes : (i + 1) * nbytes], "little") for i in range(flat.shape[0])]
 
 
 @dataclass(frozen=True)
