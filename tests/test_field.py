@@ -88,7 +88,7 @@ def test_sum_and_segment_sum(spec):
     n = 1000
     xs = rand_elems(spec, n)
     a = f.array(xs)
-    assert f.to_ints(f.sum(a, axis=0).reshape(1, -1)) == [sum(xs) % p]
+    assert f.to_ints(f.sum(a, axis=1)) == [sum(xs) % p]
 
     ids = np.array([rng.randrange(7) for _ in range(n)], dtype=np.int32)
     got = f.to_ints(f.segment_sum(a, jnp.asarray(ids), 7, max_segment=n))

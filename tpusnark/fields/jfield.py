@@ -4,16 +4,18 @@ Replaces gnark-crypto's generated 4x64-bit Montgomery assembly (SURVEY.md §2.5,
 reference call sites: /root/reference/constraint/bn254/solver.go:35,
 /root/reference/backend/groth16/bn254/setup.go:128) with a TPU-native design:
 
-  * field elements = ``(..., n_limbs)`` uint32 arrays, base 2^16 little-endian
-    (the TPU VPU has no 64-bit lanes; 16x16->32 products never overflow a lane)
+  * field elements = ``(n_limbs, *batch)`` uint32 arrays, base 2^16
+    little-endian. Limb axis is LEADING so the (large) batch dimension is
+    minor-most and maps onto the 128-wide VPU lanes; a trailing 16-limb axis
+    would be padded 16->128 on TPU (8x waste).
+  * the TPU VPU has no 64-bit lanes; 16x16->32 products never overflow a lane
   * Montgomery form throughout; multiplication = column-accumulation REDC with
     the limb loop unrolled at trace time (static shapes, XLA-fusable)
-  * batch dimension(s) lead, limb dimension is minor -> vectorizes along VPU
-    lanes; the same code runs inside Pallas kernels (it is pure jnp)
   * wide accumulations (segment sums for sparse matvec / linear-expression
     evaluation) keep lazily-unreduced 32-bit columns and reduce once at the end
+  * the same code runs inside Pallas kernels (it is pure jnp)
 
-Everything is shape-polymorphic over leading batch dims and closed over a
+Everything is shape-polymorphic over trailing batch dims and closed over a
 :class:`~tpusnark.fields.spec.FieldSpec` (no per-curve codegen, unlike the
 reference's internal/generator).
 """
@@ -37,7 +39,10 @@ def _u32(x: int) -> np.uint32:
 
 
 class Field:
-    """JAX limb arithmetic bound to one FieldSpec. All ops are pure jnp."""
+    """JAX limb arithmetic bound to one FieldSpec. All ops are pure jnp.
+
+    Array convention: limb axis first, shape (n_limbs, *batch).
+    """
 
     def __init__(self, spec: FieldSpec):
         self.spec = spec
@@ -59,26 +64,30 @@ class Field:
         return jnp.asarray(int_to_limbs(int(x) % self.spec.modulus, self.n))
 
     def zeros(self, shape=()) -> jnp.ndarray:
-        return jnp.zeros((*shape, self.n), dtype=jnp.uint32)
+        return jnp.zeros((self.n, *shape), dtype=jnp.uint32)
 
     @property
     def one(self) -> jnp.ndarray:
         return self._one_mont
 
     def array(self, xs, mont: bool = True) -> jnp.ndarray:
-        return jnp.asarray(self.spec.encode(list(xs), mont=mont))
+        """Python ints -> (n_limbs, len(xs)) device array."""
+        return jnp.asarray(self.spec.encode(list(xs), mont=mont).T.copy())
 
     def to_ints(self, a, mont: bool = True):
-        return self.spec.decode(np.asarray(a), mont=mont)
+        """(n_limbs, *batch) -> flat list of ints (batch row-major)."""
+        arr = np.asarray(a)
+        arr = np.moveaxis(arr, 0, -1)  # (..., n_limbs)
+        return self.spec.decode(arr.reshape(-1, self.n), mont=mont)
 
     # ----------------------------------------------------------- column plumbing
     @staticmethod
     def _cols(a):
-        return [a[..., i] for i in range(a.shape[-1])]
+        return [a[i] for i in range(a.shape[0])]
 
     @staticmethod
     def _stack(cols):
-        return jnp.stack(cols, axis=-1)
+        return jnp.stack(cols, axis=0)
 
     @staticmethod
     def _carry_prop(cols):
@@ -125,14 +134,14 @@ class Field:
         return self._stack([jnp.where(under, f, d) for f, d in zip(fixed, diff)])
 
     def neg(self, a):
-        return self.sub(self._broadcast_const(self._zero, a), a)
+        return self.sub(self.broadcast_const(self._zero, a), a)
 
     def double(self, a):
         return self.add(a, a)
 
-    @staticmethod
-    def _broadcast_const(c, like):
-        return jnp.broadcast_to(c, like.shape)
+    def broadcast_const(self, c, like):
+        """(n_limbs,) const -> broadcast to like's shape."""
+        return jnp.broadcast_to(c.reshape((self.n,) + (1,) * (like.ndim - 1)), like.shape)
 
     # --------------------------------------------------------------- mont mul
     def mul(self, a, b):
@@ -171,7 +180,7 @@ class Field:
         return self.mul(a, a)
 
     def to_mont(self, a):
-        return self.mul(a, self._broadcast_const(self._r2, a))
+        return self.mul(a, self.broadcast_const(self._r2, a))
 
     def from_mont(self, a):
         # multiply by 1 (non-Montgomery) == REDC(a)
@@ -193,30 +202,30 @@ class Field:
 
     # ------------------------------------------------------------- comparisons
     def is_zero(self, a):
-        return jnp.all(a == 0, axis=-1)
+        return jnp.all(a == 0, axis=0)
 
     def eq(self, a, b):
-        return jnp.all(a == b, axis=-1)
+        return jnp.all(a == b, axis=0)
 
     @staticmethod
     def select(cond, a, b):
-        """cond: (...,) bool; a,b: (..., n)."""
-        return jnp.where(cond[..., None], a, b)
+        """cond: (*batch,) bool; a,b: (n_limbs, *batch)."""
+        return jnp.where(cond, a, b)
 
     # ----------------------------------------------------------- powering / inv
     def pow_static(self, a, e: int):
         """a^e for a host-known integer exponent, via lax.scan over bits."""
         if e == 0:
-            return self._broadcast_const(self._one_mont, a)
+            return self.broadcast_const(self._one_mont, a)
         bits = [(e >> i) & 1 for i in range(e.bit_length())]
         bits_arr = jnp.asarray(np.array(bits[::-1], dtype=np.uint32))  # MSB first
 
-        one = self._broadcast_const(self._one_mont, a)
+        one = self.broadcast_const(self._one_mont, a)
 
         def body(acc, bit):
             acc = self.square(acc)
             mul_acc = self.mul(acc, a)
-            acc = self.select(jnp.broadcast_to(bit == 1, acc.shape[:-1]), mul_acc, acc)
+            acc = jnp.where(bit == 1, mul_acc, acc)
             return acc, None
 
         acc, _ = jax.lax.scan(body, one, bits_arr)
@@ -283,21 +292,22 @@ class Field:
             limbs.append(jnp.zeros_like(limbs[0]))
         return self._stack(limbs)
 
-    def sum(self, a, axis: int = 0):
-        """Sum of canonical elements along `axis` (batch), reduced mod p."""
+    def sum(self, a, axis: int = 1):
+        """Sum of canonical elements along batch axis `axis` (>=1), mod p."""
+        assert axis >= 1
         k = a.shape[axis]
-        cols = jnp.sum(a.astype(jnp.uint32), axis=axis)  # (..., n) columns < k*2^16
         assert k <= 1 << 16, "sum too long for lazy accumulation"
+        cols_arr = jnp.sum(a, axis=axis)
         bound = k * (self.spec.modulus - 1)
-        return self.reduce_columns(self._cols(cols), bound)
+        return self.reduce_columns(self._cols(cols_arr), bound)
 
     def segment_sum(self, values, segment_ids, num_segments: int, max_segment: int = 1 << 16):
-        """Segmented modular sum: values (N, n limbs) canonical, ids (N,).
+        """Segmented modular sum: values (n_limbs, N) canonical, ids (N,).
 
         max_segment bounds the number of elements per segment (host-side),
         needed for the lazy-accumulation overflow analysis."""
         assert max_segment <= 1 << 16
-        cols = jax.ops.segment_sum(values, segment_ids, num_segments=num_segments)
+        cols = jnp.zeros((self.n, num_segments), dtype=jnp.uint32).at[:, segment_ids].add(values)
         bound = max_segment * (self.spec.modulus - 1)
         return self.reduce_columns(self._cols(cols), bound)
 
@@ -305,7 +315,7 @@ class Field:
     def mul_const(self, a, c: int):
         """Multiply by a host constant (given in normal form, converted here)."""
         cm = self.const(c, mont=True)
-        return self.mul(a, self._broadcast_const(cm, a))
+        return self.mul(a, self.broadcast_const(cm, a))
 
 
 @functools.lru_cache(maxsize=None)
