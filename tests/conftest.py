@@ -2,15 +2,27 @@
 
 Mirrors the reference's tiered test strategy (SURVEY.md §4): fast CPU tests are
 the default; real-TPU runs happen in bench.py / driver entrypoints.
+
+IMPORTANT: this environment ships an `axon` sitecustomize that registers a
+tunneled-TPU PJRT plugin at interpreter start and force-sets jax_platforms to
+"axon" (ignoring the JAX_PLATFORMS env var). For fast local tests invoke
+pytest with the registration disabled:
+
+    PALLAS_AXON_POOL_IPS= python -m pytest tests/ -x -q
+
+Either way, the config override below pins the test process to CPU.
 """
 
 import os
 import sys
 
-# Must be set before jax import anywhere in the test process.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402  (sitecustomize may already have imported it)
+
+jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

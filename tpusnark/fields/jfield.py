@@ -144,37 +144,42 @@ class Field:
         return jnp.broadcast_to(c.reshape((self.n,) + (1,) * (like.ndim - 1)), like.shape)
 
     # --------------------------------------------------------------- mont mul
+    def _p_arr(self, batch_ndim: int):
+        """(n, 1, 1, ...) modulus limbs for broadcasting against batch dims."""
+        return jnp.asarray(np.array([int(c) for c in self._p_cols], dtype=np.uint32)).reshape(
+            (self.n,) + (1,) * batch_ndim
+        )
+
+    def _redc(self, t):
+        """Montgomery-reduce a (2n, *batch) column accumulator in place.
+
+        Columns must be < 2^22 on entry so the += below cannot overflow u32.
+        Returns canonical (n, *batch)."""
+        n = self.n
+        p_arr = self._p_arr(t.ndim - 1)
+        for i in range(n):
+            m = (t[i] * self._pprime) & MASK
+            pm = p_arr * m[None]
+            t = t.at[i : i + n].add(pm & MASK)
+            t = t.at[i + 1 : i + n + 1].add(pm >> SHIFT)
+            # column i is now 0 mod 2^16; push its carry up and retire it
+            t = t.at[i + 1].add(t[i] >> SHIFT)
+        limbs, _ = self._carry_prop([t[n + i] for i in range(n)])  # result < 2p
+        limbs = self._sub_p_if_ge(limbs, self._p_cols)
+        return self._stack(limbs)
+
     def mul(self, a, b):
         """Montgomery product a*b*R^-1 mod p. Inputs/outputs canonical (<p)."""
         n = self.n
-        ac = self._cols(a)
-        bc = self._cols(b)
-        t = [None] * (2 * n)
-
-        def acc(idx, val):
-            t[idx] = val if t[idx] is None else t[idx] + val
-
-        # schoolbook partial products, lo/hi split per product
+        a, b = jnp.broadcast_arrays(a, b)
+        t = jnp.zeros((2 * n,) + a.shape[1:], dtype=jnp.uint32)
+        # schoolbook partial products row by row, lo/hi split
+        # (each column accumulates <= 2n values < 2^16 -> < 2^21, no overflow)
         for i in range(n):
-            ai = ac[i]
-            for j in range(n):
-                p_ = ai * bc[j]
-                acc(i + j, p_ & MASK)
-                if i + j + 1 < 2 * n:
-                    acc(i + j + 1, p_ >> SHIFT)
-        # interleaved Montgomery reduction, one 16-bit digit at a time
-        for i in range(n):
-            m = (t[i] * self._pprime) & MASK
-            for j in range(n):
-                pm = m * self._p_cols[j]
-                acc(i + j, pm & MASK)
-                if i + j + 1 < 2 * n:
-                    acc(i + j + 1, pm >> SHIFT)
-            # column i is now 0 mod 2^16; push its carry up and retire it
-            acc(i + 1, t[i] >> SHIFT)
-        limbs, _ = self._carry_prop(t[n:])  # result < 2p -> fits n limbs
-        limbs = self._sub_p_if_ge(limbs, self._p_cols)
-        return self._stack(limbs)
+            prod = a[i][None] * b  # (n, *batch)
+            t = t.at[i : i + n].add(prod & MASK)
+            t = t.at[i + 1 : i + n + 1].add(prod >> SHIFT)
+        return self._redc(t)
 
     def square(self, a):
         return self.mul(a, a)
@@ -183,22 +188,10 @@ class Field:
         return self.mul(a, self.broadcast_const(self._r2, a))
 
     def from_mont(self, a):
-        # multiply by 1 (non-Montgomery) == REDC(a)
+        # multiply by 1 (non-Montgomery) == REDC(a zero-extended to 2n columns)
         n = self.n
-        ac = self._cols(a)
-        t = list(ac) + [None] * n
-        for i in range(n):
-            m = (t[i] * self._pprime) & MASK
-            for j in range(n):
-                pm = m * self._p_cols[j]
-                t[i + j] = t[i + j] + (pm & MASK) if t[i + j] is not None else (pm & MASK)
-                if i + j + 1 < 2 * n:
-                    hi = pm >> SHIFT
-                    t[i + j + 1] = t[i + j + 1] + hi if t[i + j + 1] is not None else hi
-            t[i + 1] = t[i + 1] + (t[i] >> SHIFT)
-        limbs, _ = self._carry_prop(t[n:])
-        limbs = self._sub_p_if_ge(limbs, self._p_cols)
-        return self._stack(limbs)
+        t = jnp.concatenate([a, jnp.zeros_like(a)], axis=0)
+        return self._redc(t)
 
     # ------------------------------------------------------------- comparisons
     def is_zero(self, a):

@@ -1,0 +1,132 @@
+"""Radix-2 NTT over a Domain, vectorized for TPU.
+
+Covers the reference's FFT surface: ``fft.Domain.FFT/FFTInverse`` with
+``OnCoset()`` (used by Groth16's computeH at
+/root/reference/backend/groth16/bn254/prove.go:353-396 and by the ICICLE GPU
+path's NttOnDevice/INttOnDevice at
+/root/reference/backend/groth16/bn254/icicle/icicle.go:453-513).
+
+TPU design: arrays are (n_limbs, n) with the domain axis minor (lanes);
+each butterfly stage is a fully-vectorized reshape + one batched Montgomery
+multiply of n/2 elements; twiddles come from a single strided (n_limbs, n/2)
+table per direction. The bit-reverse permutation is a precomputed gather.
+Internal layout/stage order need NOT match gnark's DIF/DIT choices: only
+polynomial-level semantics (evaluate / interpolate on the subgroup or its
+coset) are part of the contract, and those are tested against the Python
+oracle in domain.ntt_ref.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fields.jfield import Field
+from ..fields.spec import FieldSpec
+from .domain import Domain, bit_reverse_perm
+
+
+class NTT:
+    """Device NTT bound to (FieldSpec, n). Twiddle tables live on device."""
+
+    def __init__(self, spec: FieldSpec, n: int):
+        self.spec = spec
+        self.n = n
+        self.k = n.bit_length() - 1
+        self.field = Field(spec)
+        self.domain = Domain(spec, n)
+        f = self.field
+        d = self.domain
+        # (L, n/2) Montgomery twiddles: w^j and w^-j for j < n/2
+        if n > 1:
+            self._tw_fwd = f.array(d.powers[: n // 2])
+            self._tw_inv = f.array(d.powers_inv[: n // 2])
+        self._bitrev = jnp.asarray(bit_reverse_perm(n))
+        self._n_inv = f.const(d.n_inv, mont=True)
+        # coset scale tables (shift^i, and shift^-i pre-scaled by nothing)
+        self._coset = None
+        self._coset_inv = None
+        # jit the public entry points (one compile per input shape).
+        # coset variants take the tables as arguments so the lazy table build
+        # happens outside any trace (no leaked tracers).
+        self.ntt = jax.jit(self.ntt)
+        self.intt = jax.jit(self.intt)
+        self._ntt_coset_j = jax.jit(lambda x, cs: self.ntt(self.field.mul(x, cs)))
+        self._intt_coset_j = jax.jit(lambda x, csi: self.field.mul(self.intt(x), csi))
+
+    # lazily built: only provers that do coset evaluations pay for these
+    def _coset_tables(self):
+        if self._coset is None:
+            f, d = self.field, self.domain
+            self._coset = f.array(d.coset_powers(inv=False))
+            self._coset_inv = f.array(d.coset_powers(inv=True))
+        return self._coset, self._coset_inv
+
+    # ---------------------------------------------------------------- kernels
+    def _stages(self, x, table):
+        """Iterative DIT butterflies; x must already be bit-reversed.
+
+        x: (L, n). Stage s (half = 2^s) pairs positions q and q^half inside
+        blocks of 2^(s+1), with twiddle w^(stride * (q mod half)). The body is
+        shape-uniform across stages so a single lax.fori_loop compiles one
+        stage graph instead of k unrolled copies (XLA compile time was
+        superlinear in the unrolled variant)."""
+        f = self.field
+        n = self.n
+        if self.k == 0:
+            return x
+        q = jnp.arange(n, dtype=jnp.uint32)
+
+        def body(s, x):
+            half = jnp.uint32(1) << s
+            stride = jnp.uint32(n) >> (s + 1)
+            lo = (q & half) == 0
+            idx_o = (q | half).astype(jnp.int32)
+            idx_e = (q & ~half).astype(jnp.int32)
+            tw_idx = ((q & (half - 1)) * stride).astype(jnp.int32)
+            tw = table[:, tw_idx]
+            o = x[:, idx_o]
+            e = x[:, idx_e]
+            t = f.mul(o, tw)
+            return jnp.where(lo, f.add(e, t), f.sub(e, t))
+
+        return jax.lax.fori_loop(0, self.k, body, x)
+
+    def ntt(self, x):
+        """coefficients -> evaluations on the subgroup (natural order)."""
+        if self.n == 1:
+            return x
+        x = x[:, self._bitrev]
+        return self._stages(x, self._tw_fwd)
+
+    def intt(self, x):
+        """evaluations (natural order) -> coefficients."""
+        if self.n == 1:
+            return x
+        f = self.field
+        x = x[:, self._bitrev]
+        x = self._stages(x, self._tw_inv)
+        return f.mul(x, f.broadcast_const(self._n_inv, x))
+
+    def coset_scale(self, x, inv: bool = False):
+        """Multiply coefficient i by shift^i (or shift^-i)."""
+        cs, csi = self._coset_tables()
+        return self.field.mul(x, csi if inv else cs)
+
+    def ntt_coset(self, x):
+        """coefficients -> evaluations on the coset shift*<w>."""
+        cs, _ = self._coset_tables()
+        return self._ntt_coset_j(x, cs)
+
+    def intt_coset(self, x):
+        """evaluations on the coset -> coefficients."""
+        _, csi = self._coset_tables()
+        return self._intt_coset_j(x, csi)
+
+
+@functools.lru_cache(maxsize=None)
+def get_ntt(spec: FieldSpec, n: int) -> NTT:
+    return NTT(spec, n)
