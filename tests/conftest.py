@@ -26,3 +26,7 @@ import jax  # noqa: E402  (sitecustomize may already have imported it)
 jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tpusnark.utils.jaxcfg import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()

@@ -1,0 +1,76 @@
+"""MSM tests vs naive Python oracle (G1 and G2), incl. edge cases.
+
+Parity surface: gnark-crypto MultiExp correctness at small sizes
+(reference: backend/groth16/bn254/prove.go:201-290; MSM vectors SURVEY.md §7
+step 3 gate)."""
+
+import random
+
+import pytest
+
+from tpusnark.curves.jcurve import g1_ops, g2_ops
+from tpusnark.curves.ref import G1, G2, R
+from tpusnark.fields.jfield import Field
+from tpusnark.fields.spec import BN254_FP, BN254_FR
+from tpusnark.msm.pippenger import MSM
+
+from tests.test_curve import dec_g1_proj, dec_g2_proj, enc_g1, enc_g2, fp
+
+rng = random.Random(11)
+fr = Field(BN254_FR)
+
+
+def run_msm_g1(points, scalars, c=8):
+    msm = MSM(g1_ops(fp), fr, c=c)
+    sc = fr.array(scalars, mont=False)
+    out = msm(enc_g1(points), sc)
+    return dec_g1_proj(out)[0]
+
+
+def ref_msm_g1(points, scalars):
+    acc = None
+    for pt, s in zip(points, scalars):
+        acc = G1.add(acc, G1.mul(pt, s))
+    return acc
+
+
+@pytest.mark.parametrize("n", [1, 2, 7, 64])
+def test_msm_g1_random(n):
+    g = G1.generator()
+    pts = [G1.mul(g, rng.randrange(1, R)) for _ in range(n)]
+    scs = [rng.randrange(R) for _ in range(n)]
+    assert run_msm_g1(pts, scs) == ref_msm_g1(pts, scs)
+
+
+def test_msm_g1_edge_cases():
+    g = G1.generator()
+    q = G1.mul(g, 5)
+    # zero scalars, infinity points, duplicate points (forces equal-point adds)
+    pts = [g, q, None, q, q, G1.neg(q)]
+    scs = [0, 3, 7, 3, R - 1, 1]
+    assert run_msm_g1(pts, scs) == ref_msm_g1(pts, scs)
+
+
+def test_msm_g1_all_zero():
+    g = G1.generator()
+    assert run_msm_g1([g, g], [0, 0]) is None
+
+
+def test_msm_g1_single_large():
+    g = G1.generator()
+    s = R - 12345
+    assert run_msm_g1([g], [s]) == G1.mul(g, s)
+
+
+def test_msm_g2():
+    g = G2.generator()
+    n = 8
+    pts = [G2.mul(g, rng.randrange(1, R)) for _ in range(n)]
+    scs = [rng.randrange(R) for _ in range(n)]
+    msm = MSM(g2_ops(fp), fr, c=8)
+    out = msm(enc_g2(pts), fr.array(scs, mont=False))
+    got = dec_g2_proj(out)[0]
+    want = None
+    for pt, s in zip(pts, scs):
+        want = G2.add(want, G2.mul(pt, s))
+    assert got == want

@@ -150,6 +150,14 @@ class Field:
             (self.n,) + (1,) * batch_ndim
         )
 
+    @staticmethod
+    def _slice_add(t, x, i: int):
+        """t[i:i+len(x)] += x via slice/update-slice (NOT scatter: XLA's
+        scatter lowering makes compile time explode ~20x)."""
+        m = x.shape[0]
+        chunk = jax.lax.dynamic_slice_in_dim(t, i, m, axis=0)
+        return jax.lax.dynamic_update_slice_in_dim(t, chunk + x, i, axis=0)
+
     def _redc(self, t):
         """Montgomery-reduce a (2n, *batch) column accumulator in place.
 
@@ -160,10 +168,10 @@ class Field:
         for i in range(n):
             m = (t[i] * self._pprime) & MASK
             pm = p_arr * m[None]
-            t = t.at[i : i + n].add(pm & MASK)
-            t = t.at[i + 1 : i + n + 1].add(pm >> SHIFT)
+            t = self._slice_add(t, pm & MASK, i)
+            t = self._slice_add(t, pm >> SHIFT, i + 1)
             # column i is now 0 mod 2^16; push its carry up and retire it
-            t = t.at[i + 1].add(t[i] >> SHIFT)
+            t = self._slice_add(t, (t[i] >> SHIFT)[None], i + 1)
         limbs, _ = self._carry_prop([t[n + i] for i in range(n)])  # result < 2p
         limbs = self._sub_p_if_ge(limbs, self._p_cols)
         return self._stack(limbs)
@@ -177,8 +185,8 @@ class Field:
         # (each column accumulates <= 2n values < 2^16 -> < 2^21, no overflow)
         for i in range(n):
             prod = a[i][None] * b  # (n, *batch)
-            t = t.at[i : i + n].add(prod & MASK)
-            t = t.at[i + 1 : i + n + 1].add(prod >> SHIFT)
+            t = self._slice_add(t, prod & MASK, i)
+            t = self._slice_add(t, prod >> SHIFT, i + 1)
         return self._redc(t)
 
     def square(self, a):

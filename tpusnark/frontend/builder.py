@@ -1,0 +1,238 @@
+"""Circuit-definition frontend: the gnark `frontend.API` analog.
+
+Reference surface being reproduced: the 50-method circuit DSL
+(/root/reference/frontend/api.go:26-150) and the R1CS builder's
+linear-expression value representation with constant folding
+(/root/reference/frontend/cs/r1cs/builder.go:55-75, api.go). Pythonic rather
+than struct-tag reflection: inputs are declared with `public()` / `secret()`
+and the circuit body is ordinary Python calling API methods.
+
+Values are either python ints (compile-time constants, like gnark's
+ConstantValue path) or `Var`s holding a linear combination of wires.
+add/sub/scale are free (no constraints); mul/div/inverse emit R1Cs whose
+single unknown the solver derives.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from ..constraint.system import COEFF_ONE, ConstraintSystem
+
+
+@dataclass(frozen=True)
+class Var:
+    """A linear combination of wires: tuple of (coeff_id, wire_id)."""
+
+    terms: tuple
+
+
+class Builder:
+    def __init__(self, modulus: int):
+        self.cs = ConstraintSystem(modulus)
+        self.p = modulus
+        self._booleans: set = set()  # vids known boolean (dedup constraint)
+
+    # ----------------------------------------------------------------- inputs
+    def public(self, name: str) -> Var:
+        return Var(((COEFF_ONE, self.cs.add_public(name)),))
+
+    def secret(self, name: str) -> Var:
+        return Var(((COEFF_ONE, self.cs.add_secret(name)),))
+
+    # ------------------------------------------------------------ conversions
+    def _lin(self, v) -> list:
+        """Any value -> linear expression (list of (cid, vid))."""
+        if isinstance(v, Var):
+            return list(v.terms)
+        c = int(v) % self.p
+        if c == 0:
+            return []
+        return [(self.cs.coeff_id(c), 0)]
+
+    def constant_value(self, v):
+        """int if v is a compile-time constant, else None."""
+        if not isinstance(v, Var):
+            return int(v) % self.p
+        if all(vid == 0 for _, vid in v.terms):
+            return sum(self.cs.coeffs[cid] for cid, _ in v.terms) % self.p
+        return None
+
+    def _merge(self, terms) -> Var:
+        acc: dict[int, int] = {}
+        for cid, vid in terms:
+            acc[vid] = (acc.get(vid, 0) + self.cs.coeffs[cid]) % self.p
+        out = tuple(
+            (self.cs.coeff_id(c), vid) for vid, c in sorted(acc.items()) if c != 0
+        )
+        return Var(out)
+
+    def _scale(self, v, c: int):
+        c = c % self.p
+        if c == 0:
+            return 0
+        terms = [
+            (self.cs.coeff_id(self.cs.coeffs[cid] * c % self.p), vid)
+            for cid, vid in self._lin(v)
+        ]
+        return self._merge(terms)
+
+    def _new_wire_var(self) -> tuple[Var, int]:
+        w = self.cs.new_internal()
+        return Var(((COEFF_ONE, w),)), w
+
+    # --------------------------------------------------------------- arithmetic
+    def add(self, a, b, *rest):
+        vals = [a, b, *rest]
+        if all(not isinstance(v, Var) for v in vals):
+            return sum(int(v) for v in vals) % self.p
+        terms = []
+        for v in vals:
+            terms.extend(self._lin(v))
+        return self._merge(terms)
+
+    def sub(self, a, b, *rest):
+        out = self.add(a, self.neg(b))
+        for r in rest:
+            out = self.add(out, self.neg(r))
+        return out
+
+    def neg(self, a):
+        if not isinstance(a, Var):
+            return (-int(a)) % self.p
+        return self._scale(a, self.p - 1)
+
+    def mul(self, a, b, *rest):
+        out = self._mul2(a, b)
+        for r in rest:
+            out = self._mul2(out, r)
+        return out
+
+    def _mul2(self, a, b):
+        ca, cb = self.constant_value(a), self.constant_value(b)
+        if ca is not None and cb is not None:
+            return ca * cb % self.p
+        if ca is not None:
+            return self._scale(b, ca)
+        if cb is not None:
+            return self._scale(a, cb)
+        o, w = self._new_wire_var()
+        self.cs.add_r1c(self._lin(a), self._lin(b), self._lin(o), solved_wire=w)
+        return o
+
+    def div(self, a, b):
+        """a / b; solver fails if b == 0 (gnark Div semantics)."""
+        cb = self.constant_value(b)
+        if cb is not None:
+            return self._scale(a, pow(cb, -1, self.p)) if cb else self._err_div0()
+        o, w = self._new_wire_var()
+        # b * o = a, solver derives o (errors when b == 0 since L==0, O!=0 ...
+        # matches gnark: Div by zero is unsatisfiable unless a == 0)
+        self.cs.add_r1c(self._lin(b), self._lin(o), self._lin(a), solved_wire=w)
+        return o
+
+    def _err_div0(self):
+        raise ZeroDivisionError("division by constant zero in circuit")
+
+    def inverse(self, a):
+        return self.div(1, a)
+
+    def square(self, a):
+        return self.mul(a, a)
+
+    # ----------------------------------------------------------------- boolean
+    def assert_is_boolean(self, a):
+        if not isinstance(a, Var):
+            assert int(a) % self.p in (0, 1), "constant not boolean"
+            return
+        key = a.terms
+        if key in self._booleans:
+            return
+        self._booleans.add(key)
+        one_minus = self.sub(1, a)
+        self.cs.add_r1c(self._lin(a), self._lin(one_minus), [], dbg="assertIsBoolean")
+
+    def and_(self, a, b):
+        self.assert_is_boolean(a)
+        self.assert_is_boolean(b)
+        return self.mul(a, b)
+
+    def or_(self, a, b):
+        self.assert_is_boolean(a)
+        self.assert_is_boolean(b)
+        return self.sub(self.add(a, b), self.mul(a, b))
+
+    def xor(self, a, b):
+        self.assert_is_boolean(a)
+        self.assert_is_boolean(b)
+        return self.sub(self.add(a, b), self.mul(2, self.mul(a, b)))
+
+    def select(self, cond, a, b):
+        """cond ? a : b (cond boolean)."""
+        self.assert_is_boolean(cond)
+        return self.add(b, self.mul(cond, self.sub(a, b)))
+
+    def is_zero(self, a):
+        """1 if a == 0 else 0 (hint + 2 constraints, gnark IsZero shape)."""
+        ca = self.constant_value(a)
+        if ca is not None:
+            return 1 if ca == 0 else 0
+
+        def inv_hint(p, ins):
+            (x,) = ins
+            return [pow(x, -1, p) if x % p else 0]
+
+        (inv_w,) = self.cs.add_hint(inv_hint, [self._lin(a)], 1)
+        inv = Var(((COEFF_ONE, inv_w),))
+        b = self.sub(1, self.mul(a, inv))  # 1 - a*inv
+        # enforce b * a == 0  (if a != 0 then b must be 0)
+        self.cs.add_r1c(self._lin(b), self._lin(a), [], dbg="isZero")
+        return b
+
+    # -------------------------------------------------------------- assertions
+    def assert_is_equal(self, a, b):
+        d = self.sub(a, b)
+        cd = self.constant_value(d)
+        if cd is not None:
+            if cd != 0:
+                raise AssertionError("constant constraint violated at compile time")
+            return
+        self.cs.add_r1c(self._lin(d), [(COEFF_ONE, 0)], [], dbg="assertIsEqual")
+
+    def assert_is_different(self, a, b):
+        # a-b must be invertible
+        self.inverse(self.sub(a, b))
+
+    # ---------------------------------------------------------------- bits
+    def to_binary(self, a, nbits: int):
+        """Decompose into nbits boolean wires (LSB first) + recomposition
+        constraint. gnark: std/math/bits ToBinary with hint."""
+
+        def bits_hint(p, ins):
+            (x,) = ins
+            return [(x >> i) & 1 for i in range(nbits)]
+
+        outs = self.cs.add_hint(bits_hint, [self._lin(a)], nbits)
+        bit_vars = [Var(((COEFF_ONE, w),)) for w in outs]
+        acc_terms = []
+        for i, bv in enumerate(bit_vars):
+            self.assert_is_boolean(bv)
+            acc_terms.extend(self._lin(self._scale(bv, 1 << i)))
+        self.assert_is_equal(self._merge(acc_terms), a)
+        return bit_vars
+
+    def from_binary(self, bits):
+        terms = []
+        for i, bv in enumerate(bits):
+            self.assert_is_boolean(bv)
+            terms.extend(self._lin(self._scale(bv, 1 << i)))
+        return self._merge(terms)
+
+    # ---------------------------------------------------------------- hints
+    def new_hint(self, fn, n_out: int, *inputs):
+        outs = self.cs.add_hint(fn, [self._lin(v) for v in inputs], n_out)
+        return [Var(((COEFF_ONE, w),)) for w in outs]
+
+    # ---------------------------------------------------------------- finalize
+    def compile(self) -> ConstraintSystem:
+        return self.cs.finalize()
