@@ -1,0 +1,124 @@
+"""Headline benchmark: BN254 G1 MSM throughput at 2^20 points (one chip).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline compares against the reference's CPU prover stack
+(gnark + gnark-crypto Pippenger MultiExp,
+/root/reference/backend/groth16/bn254/prove.go:201-290). The repo publishes
+no numbers (SURVEY.md §6) and no Go toolchain exists in this image, so the
+baseline constant below is the well-known gnark-crypto figure for a modern
+16-core x86 host: BN254 G1 MSM 2^20 in ~0.4 s  =>  ~2.6e6 points/s.
+
+Usage: python bench.py [--n LOG2_POINTS] [--metric msm|ntt]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+REF_MSM_POINTS_PER_S = 2.6e6  # gnark-crypto CPU estimate (see docstring)
+REF_NTT_2_22_MS = 120.0  # gnark-crypto fft.Domain 2^22 CPU estimate
+
+
+def _rand_scalars_dev(fr, n, seed=0):
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(seed)
+    # uniform 16-bit limbs then clear top bits so scalars < 2^250 < r
+    arr = rng.integers(0, 1 << 16, size=(fr.n, n), dtype=np.uint32)
+    arr[-1] &= 0x03FF
+    return jnp.asarray(arr)
+
+
+def bench_msm(log2n: int):
+    import jax
+
+    from tpusnark.curves.batch_mul import FixedBaseMul, g1_generator_ladder
+    from tpusnark.curves.jcurve import g1_ops
+    from tpusnark.fields.jfield import get_field
+    from tpusnark.fields.spec import BN254_FP, BN254_FR
+    from tpusnark.msm.pippenger import get_msm
+
+    n = 1 << log2n
+    fp = get_field(BN254_FP)
+    fr = get_field(BN254_FR)
+    ops = g1_ops(fp)
+
+    # generate n distinct affine points on device: t_i * G then normalize
+    fb = FixedBaseMul(ops, fr, n_bits=64)
+    ladder = g1_generator_ladder(fp, 64)
+    tvals = _rand_scalars_dev(fr, n, seed=1)[:4]  # 64-bit scalars
+    proj = fb(ladder, tvals)
+
+    @jax.jit
+    def normalize(pt):
+        X, Y, Z = pt
+        zi = fp.inv(Z)
+        inf = fp.is_zero(Z)
+        return fp.mul(X, zi), fp.mul(Y, zi), inf
+
+    points = jax.block_until_ready(normalize(proj))
+
+    scalars = _rand_scalars_dev(fr, n, seed=2)
+    msm = get_msm("g1")
+    out = jax.block_until_ready(msm(points, scalars))  # compile + warm
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = msm(points, scalars)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / reps
+    pps = n / dt
+    return {
+        "metric": f"bn254_g1_msm_2^{log2n}_points_per_s",
+        "value": round(pps, 1),
+        "unit": "points/s",
+        "vs_baseline": round(pps / REF_MSM_POINTS_PER_S, 3),
+    }
+
+
+def bench_ntt(log2n: int):
+    import jax
+    import jax.numpy as jnp
+
+    from tpusnark.fields.jfield import get_field
+    from tpusnark.fields.spec import BN254_FR
+    from tpusnark.poly.ntt import get_ntt
+
+    n = 1 << log2n
+    fr = get_field(BN254_FR)
+    ntt = get_ntt(BN254_FR, n)
+    x = _rand_scalars_dev(fr, n, seed=3)
+    out = jax.block_until_ready(ntt.ntt(x))
+    reps = 5
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = ntt.ntt(x)
+    jax.block_until_ready(out)
+    ms = (time.perf_counter() - t0) / reps * 1e3
+    return {
+        "metric": f"bn254_fr_ntt_2^{log2n}_ms",
+        "value": round(ms, 2),
+        "unit": "ms",
+        "vs_baseline": round(REF_NTT_2_22_MS / ms, 3) if log2n == 22 else 0.0,
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--metric", default="msm", choices=["msm", "ntt"])
+    ap.add_argument("--n", type=int, default=None, help="log2 problem size")
+    args = ap.parse_args()
+    if args.metric == "msm":
+        out = bench_msm(args.n or 20)
+    else:
+        out = bench_ntt(args.n or 22)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -12,7 +12,7 @@ from tpusnark.curves.jcurve import g1_ops, g2_ops
 from tpusnark.curves.ref import G1, G2, R
 from tpusnark.fields.jfield import Field
 from tpusnark.fields.spec import BN254_FP, BN254_FR
-from tpusnark.msm.pippenger import MSM
+from tpusnark.msm.pippenger import MSM, get_msm
 
 from tests.test_curve import dec_g1_proj, dec_g2_proj, enc_g1, enc_g2, fp
 
@@ -21,7 +21,7 @@ fr = Field(BN254_FR)
 
 
 def run_msm_g1(points, scalars, c=8):
-    msm = MSM(g1_ops(fp), fr, c=c)
+    msm = get_msm("g1", c)
     sc = fr.array(scalars, mont=False)
     out = msm(enc_g1(points), sc)
     return dec_g1_proj(out)[0]
@@ -67,7 +67,7 @@ def test_msm_g2():
     n = 8
     pts = [G2.mul(g, rng.randrange(1, R)) for _ in range(n)]
     scs = [rng.randrange(R) for _ in range(n)]
-    msm = MSM(g2_ops(fp), fr, c=8)
+    msm = get_msm("g2", 8)
     out = msm(enc_g2(pts), fr.array(scs, mont=False))
     got = dec_g2_proj(out)[0]
     want = None

@@ -1,0 +1,66 @@
+"""Groth16 key and proof containers.
+
+Reference shapes: ProvingKey/VerifyingKey at
+/root/reference/backend/groth16/bn254/setup.go:35-82 and the icicle
+device-resident variant /root/reference/backend/groth16/bn254/icicle/provingkey.go:11-36.
+
+Host-side points are python-int affine tuples ((x, y) | None, G2 uses Fp2
+coords) — the serializable form. Device residency (the icicle
+setupDevicePointers analog) is lazy: on first prove the point tables are limb-
+encoded into jax arrays, cached on the key object, and live in HBM thereafter.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass
+class VerifyingKey:
+    alpha_g1: tuple
+    beta_g2: tuple
+    gamma_g2: tuple
+    delta_g2: tuple
+    k: list  # G1 points, one per public wire (index 0 = the constant wire)
+
+    @property
+    def n_public(self) -> int:
+        return len(self.k)
+
+
+@dataclass
+class ProvingKey:
+    alpha_g1: tuple
+    beta_g1: tuple
+    delta_g1: tuple
+    beta_g2: tuple
+    delta_g2: tuple
+    a: list  # G1, per wire: A_w(t)
+    b1: list  # G1, per wire: B_w(t)
+    b2: list  # G2, per wire: B_w(t)
+    k: list  # G1, per PRIVATE wire: (beta*A_w + alpha*B_w + C_w)/delta
+    z: list  # G1, length n-1: t^i * Z_H(t)/delta
+    domain_n: int = 0
+    # lazy device residency (icicle.go:31-130 analog)
+    _dev: dict = field(default_factory=dict, repr=False)
+
+    def device(self):
+        """Encode point tables into device arrays once; returns the cache."""
+        if not self._dev:
+            from ...curves.encoding import g1_to_device, g2_to_device
+
+            self._dev = {
+                "a": g1_to_device(self.a),
+                "b1": g1_to_device(self.b1),
+                "b2": g2_to_device(self.b2),
+                "k": g1_to_device(self.k),
+                "z": g1_to_device(self.z),
+            }
+        return self._dev
+
+
+@dataclass
+class Proof:
+    ar: tuple  # G1
+    krs: tuple  # G1
+    bs: tuple  # G2

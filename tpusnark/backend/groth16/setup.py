@@ -1,0 +1,199 @@
+"""Groth16 trusted setup.
+
+Reference behavior being reproduced (not translated):
+/root/reference/backend/groth16/bn254/setup.go:85-482 —
+sample toxic waste (alpha, beta, gamma, delta, t), evaluate the per-wire QAP
+polynomials A_w(t), B_w(t), C_w(t) by Lagrange accumulation over all R1C rows,
+split K into vk (public, /gamma) and pk (private, /delta) parts, Z powers
+t^i * Z_H(t)/delta, then one giant batched fixed-base scalar multiplication
+for all key points (setup.go:251 BatchScalarMultiplicationG1/G2).
+
+TPU-native: the scalar math is exact python ints on host (one pass over the
+constraint terms, O(#terms)); the point generation — the actual hot part —
+runs on device via :class:`~tpusnark.curves.batch_mul.FixedBaseMul`
+(254 batched complete mixed adds over all scalars at once). Small systems
+(< _DEVICE_THRESHOLD scalars) just use the host ladder directly.
+"""
+
+from __future__ import annotations
+
+import secrets
+
+from ...constraint.system import ConstraintSystem
+from ...curves import ref
+from ...curves.ref import G1, G2
+from .keys import Proof, ProvingKey, VerifyingKey
+
+_DEVICE_THRESHOLD = 1 << 10
+
+
+def _next_pow2(n: int) -> int:
+    return 1 << max(0, (n - 1).bit_length())
+
+
+def lagrange_coeffs_at(t: int, n: int, omega: int, p: int) -> list[int]:
+    """L_i(t) for the size-n domain: L_i(t) = omega^i (t^n - 1) / (n (t - omega^i)).
+
+    Assumes t is not in the domain (overwhelming probability for random t)."""
+    zt = (pow(t, n, p) - 1) % p
+    n_inv = pow(n, -1, p)
+    # batch-invert (t - omega^i) via Montgomery trick
+    wi = 1
+    denoms = []
+    for _ in range(n):
+        denoms.append((t - wi) % p)
+        wi = wi * omega % p
+    # prefix products
+    pref = [1] * (n + 1)
+    for i, d in enumerate(denoms):
+        pref[i + 1] = pref[i] * d % p
+    inv_all = pow(pref[n], -1, p)
+    invs = [0] * n
+    for i in range(n - 1, -1, -1):
+        invs[i] = inv_all * pref[i] % p
+        inv_all = inv_all * denoms[i] % p
+    out = [0] * n
+    wi = 1
+    base = zt * n_inv % p
+    for i in range(n):
+        out[i] = base * wi % p * invs[i] % p
+        wi = wi * omega % p
+    return out
+
+
+def _qap_eval_at_t(cs: ConstraintSystem, t: int, n: int, omega: int):
+    """Per-wire A_w(t), B_w(t), C_w(t) via one pass over constraint terms
+    (reference: setupABC, setup.go:352)."""
+    p = cs.modulus
+    L = lagrange_coeffs_at(t, n, omega, p)
+    coeffs = cs.coeffs
+    nw = cs.n_wires
+    A = [0] * nw
+    B = [0] * nw
+    C = [0] * nw
+    for i, c in enumerate(cs.constraints):
+        li = L[i]
+        for cid, vid in c.L:
+            A[vid] = (A[vid] + coeffs[cid] * li) % p
+        for cid, vid in c.R:
+            B[vid] = (B[vid] + coeffs[cid] * li) % p
+        for cid, vid in c.O:
+            C[vid] = (C[vid] + coeffs[cid] * li) % p
+    return A, B, C
+
+
+def _g1_many(scalars: list[int], use_device: bool):
+    """[s_i * G1] for all i; device batch path for large inputs."""
+    if not use_device or len(scalars) < _DEVICE_THRESHOLD:
+        return [G1.mul(G1.generator(), s) if s % ref.R else None for s in scalars]
+    from ...curves.batch_mul import FixedBaseMul, g1_generator_ladder
+    from ...curves.encoding import g1_from_device_proj
+    from ...curves.jcurve import g1_ops
+    from ...fields.jfield import get_field
+    from ...fields.spec import BN254_FP, BN254_FR
+
+    fp = get_field(BN254_FP)
+    fr = get_field(BN254_FR)
+    mul = FixedBaseMul(g1_ops(fp), fr)
+    table = g1_generator_ladder(fp, mul.n_bits)
+    import jax.numpy as jnp
+
+    sc = jnp.asarray(fr.spec.encode(scalars, mont=False).T.copy())
+    return g1_from_device_proj(mul(table, sc))
+
+
+def _g2_many(scalars: list[int], use_device: bool):
+    if not use_device or len(scalars) < _DEVICE_THRESHOLD:
+        return [G2.mul(G2.generator(), s) if s % ref.R else None for s in scalars]
+    from ...curves.batch_mul import FixedBaseMul, g2_generator_ladder
+    from ...curves.encoding import g2_from_device_proj
+    from ...curves.jcurve import g2_ops
+    from ...fields.jfield import get_field
+    from ...fields.spec import BN254_FP, BN254_FR
+
+    fp = get_field(BN254_FP)
+    fr = get_field(BN254_FR)
+    mul = FixedBaseMul(g2_ops(fp), fr)
+    table = g2_generator_ladder(fp, mul.n_bits)
+    import jax.numpy as jnp
+
+    sc = jnp.asarray(fr.spec.encode(scalars, mont=False).T.copy())
+    return g2_from_device_proj(mul(table, sc))
+
+
+def setup(cs: ConstraintSystem, rng=None, use_device: bool = True):
+    """(pk, vk) for an R1CS. rng: callable -> int in [1, r) for testing
+    determinism; defaults to secrets-based sampling."""
+    assert cs.modulus == ref.R, "groth16 backend is BN254-only for now"
+    p = ref.R
+    rand = rng or (lambda: secrets.randbelow(p - 1) + 1)
+
+    from ...poly.domain import Domain
+    from ...fields.spec import BN254_FR
+
+    n = _next_pow2(max(1, len(cs.constraints)))
+    dom = Domain(BN254_FR, n)
+
+    alpha, beta, gamma, delta, t = (rand() for _ in range(5))
+    # resample t until Z_H(t) != 0
+    while pow(t, n, p) == 1:
+        t = rand()
+
+    A, B, C = _qap_eval_at_t(cs, t, n, dom.generator)
+
+    gamma_inv = pow(gamma, -1, p)
+    delta_inv = pow(delta, -1, p)
+    npub = cs.n_public
+    k_vk_s = [(beta * A[w] + alpha * B[w] + C[w]) * gamma_inv % p for w in range(npub)]
+    k_pk_s = [
+        (beta * A[w] + alpha * B[w] + C[w]) * delta_inv % p for w in range(npub, cs.n_wires)
+    ]
+    zt = (pow(t, n, p) - 1) % p
+    z_s = []
+    ti = 1
+    for _ in range(n - 1):
+        z_s.append(zt * delta_inv % p * ti % p)
+        ti = ti * t % p
+
+    # one big G1 batch: [A | B | K_vk | K_pk | Z | alpha, beta, delta]
+    g1_scalars = A + B + k_vk_s + k_pk_s + z_s + [alpha, beta, delta]
+    g1_pts = _g1_many(g1_scalars, use_device)
+    o = 0
+    nw = cs.n_wires
+    a_pts = g1_pts[o : o + nw]
+    o += nw
+    b1_pts = g1_pts[o : o + nw]
+    o += nw
+    k_vk = g1_pts[o : o + npub]
+    o += npub
+    k_pk = g1_pts[o : o + nw - npub]
+    o += nw - npub
+    z_pts = g1_pts[o : o + n - 1]
+    o += n - 1
+    alpha_g1, beta_g1, delta_g1 = g1_pts[o : o + 3]
+
+    g2_pts = _g2_many(B + [beta, gamma, delta], use_device)
+    b2_pts = g2_pts[:nw]
+    beta_g2, gamma_g2, delta_g2 = g2_pts[nw : nw + 3]
+
+    pk = ProvingKey(
+        alpha_g1=alpha_g1,
+        beta_g1=beta_g1,
+        delta_g1=delta_g1,
+        beta_g2=beta_g2,
+        delta_g2=delta_g2,
+        a=a_pts,
+        b1=b1_pts,
+        b2=b2_pts,
+        k=k_pk,
+        z=z_pts,
+        domain_n=n,
+    )
+    vk = VerifyingKey(
+        alpha_g1=alpha_g1,
+        beta_g2=beta_g2,
+        gamma_g2=gamma_g2,
+        delta_g2=delta_g2,
+        k=k_vk,
+    )
+    return pk, vk

@@ -1,0 +1,103 @@
+"""Batched fixed-base scalar multiplication on device.
+
+TPU-native analog of gnark-crypto's ``BatchScalarMultiplicationG1/G2`` used by
+Groth16 setup for all proving-key points
+(/root/reference/backend/groth16/bn254/setup.go:251).
+
+Strategy: the base is FIXED, so precompute the 2^k·G ladder on the host
+(cheap: ~254 doublings with python ints) and run a fully batched
+bit-scan on device: 254 complete mixed additions over the whole scalar
+vector, each lane conditionally accepting table[k] via select. No per-lane
+branching, no buckets — the double-and-add "double" is amortized into the
+host table.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..fields.jfield import Field
+from .jcurve import CurveOps
+
+tree_map = jax.tree_util.tree_map
+
+
+class FixedBaseMul:
+    """Bound to (ops, fp field, scalar bits). Call with a host ladder table."""
+
+    def __init__(self, ops: CurveOps, fr: Field, n_bits: int | None = None):
+        self.ops = ops
+        self.fr = fr
+        self.n_bits = n_bits or fr.spec.modulus.bit_length()
+        self._jit = jax.jit(self._impl)
+
+    def __call__(self, table_xy, scalars_norm):
+        """table_xy: (X, Y) coord arrays with trailing axis n_bits (the host
+        2^k·G ladder, never infinity); scalars_norm: (L, N) normal-form limbs.
+        Returns projective points with batch N."""
+        return self._jit(table_xy, scalars_norm)
+
+    def _impl(self, table_xy, scalars):
+        ops = self.ops
+        tX, tY = table_xy
+        N = scalars.shape[-1]
+        # acc: batch-N identity
+        x_templ = tree_map(
+            lambda a: jnp.zeros(a.shape[:-1] + (N,), a.dtype), tX
+        )
+        acc0 = ops.identity_like(x_templ)
+
+        def body(k, acc):
+            limb = k >> 4
+            sc = jax.lax.dynamic_index_in_dim(scalars, limb, axis=0, keepdims=False)
+            bit = (sc >> (jnp.uint32(k) & jnp.uint32(15))) & jnp.uint32(1)
+            pt_k = (
+                tree_map(lambda a: jax.lax.dynamic_slice_in_dim(a, k, 1, axis=-1), tX),
+                tree_map(lambda a: jax.lax.dynamic_slice_in_dim(a, k, 1, axis=-1), tY),
+            )
+            # broadcast the single table point against the batch
+            nxt = ops.add_mixed(acc, pt_k)
+            return ops.select(bit == 1, nxt, acc)
+
+        return jax.lax.fori_loop(0, self.n_bits, body, acc0)
+
+
+@functools.lru_cache(maxsize=8)
+def _g1_ladder_host(n_bits: int):
+    """2^k * G1 generator for k < n_bits, python ints."""
+    from .ref import G1
+
+    out = []
+    p = G1.generator()
+    for _ in range(n_bits):
+        out.append(p)
+        p = G1.double(p)
+    return out
+
+
+def g1_generator_ladder(fp: Field, n_bits: int):
+    """Device (X, Y) arrays, trailing axis n_bits."""
+    pts = _g1_ladder_host(n_bits)
+    return (fp.array([pt[0] for pt in pts]), fp.array([pt[1] for pt in pts]))
+
+
+@functools.lru_cache(maxsize=8)
+def _g2_ladder_host(n_bits: int):
+    from .ref import G2
+
+    out = []
+    p = G2.generator()
+    for _ in range(n_bits):
+        out.append(p)
+        p = G2.double(p)
+    return out
+
+
+def g2_generator_ladder(fp: Field, n_bits: int):
+    pts = _g2_ladder_host(n_bits)
+    X = (fp.array([pt[0].c0 for pt in pts]), fp.array([pt[0].c1 for pt in pts]))
+    Y = (fp.array([pt[1].c0 for pt in pts]), fp.array([pt[1].c1 for pt in pts]))
+    return (X, Y)

@@ -1,0 +1,102 @@
+"""Host <-> device point/scalar encoding.
+
+The TPU analog of the reference's host<->device copy layer
+(/root/reference/backend/groth16/bn254/icicle/icicle.go:44-126
+CopyToDevice/CopyPointsToDevice): here "copy" is just limb encoding into
+jax arrays; XLA manages placement.
+
+Host representation: affine points as (x, y) python-int tuples (G1) or
+(Fp2, Fp2) tuples (G2); infinity = None — matching curves/ref.py.
+Device representation: (X, Y, inf) with coords (n_limbs, N) Montgomery
+uint32 limbs; G2 coords are (c0, c1) tuples of limb arrays.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..fields.jfield import Field, get_field
+from ..fields.spec import BN254_FP
+from .ref import Fp2
+
+
+def g1_to_device(points, fp: Field | None = None):
+    """list[(x,y) | None] -> (X, Y, inf) device arrays (Montgomery)."""
+    fp = fp or get_field(BN254_FP)
+    xs, ys, inf = [], [], []
+    for pt in points:
+        if pt is None:
+            xs.append(0)
+            ys.append(1)
+            inf.append(True)
+        else:
+            xs.append(pt[0])
+            ys.append(pt[1])
+            inf.append(False)
+    import jax.numpy as jnp
+
+    return (fp.array(xs), fp.array(ys), jnp.asarray(np.array(inf)))
+
+
+def g2_to_device(points, fp: Field | None = None):
+    """list[(Fp2,Fp2) | None] -> ((X0,X1), (Y0,Y1), inf) device arrays."""
+    fp = fp or get_field(BN254_FP)
+    x0, x1, y0, y1, inf = [], [], [], [], []
+    for pt in points:
+        if pt is None:
+            x0.append(0)
+            x1.append(0)
+            y0.append(1)
+            y1.append(0)
+            inf.append(True)
+        else:
+            x0.append(pt[0].c0)
+            x1.append(pt[0].c1)
+            y0.append(pt[1].c0)
+            y1.append(pt[1].c1)
+            inf.append(False)
+    import jax.numpy as jnp
+
+    return (
+        (fp.array(x0), fp.array(x1)),
+        (fp.array(y0), fp.array(y1)),
+        jnp.asarray(np.array(inf)),
+    )
+
+
+def g1_from_device_proj(pt, fp: Field | None = None):
+    """Projective (X, Y, Z) device point (batch 1 or N) -> list[(x,y)|None]."""
+    fp = fp or get_field(BN254_FP)
+    X, Y, Z = pt
+    xs = fp.to_ints(X)
+    ys = fp.to_ints(Y)
+    zs = fp.to_ints(Z)
+    p = fp.spec.modulus
+    out = []
+    for x, y, z in zip(xs, ys, zs):
+        if z == 0:
+            out.append(None)
+        else:
+            zi = pow(z, -1, p)
+            out.append((x * zi % p, y * zi % p))
+    return out
+
+
+def g2_from_device_proj(pt, fp: Field | None = None):
+    fp = fp or get_field(BN254_FP)
+    (X0, X1), (Y0, Y1), (Z0, Z1) = pt
+    x0 = fp.to_ints(X0)
+    x1 = fp.to_ints(X1)
+    y0 = fp.to_ints(Y0)
+    y1 = fp.to_ints(Y1)
+    z0 = fp.to_ints(Z0)
+    z1 = fp.to_ints(Z1)
+    out = []
+    for i in range(len(x0)):
+        z = Fp2(z0[i], z1[i])
+        if z.is_zero():
+            out.append(None)
+        else:
+            zi = z.inv()
+            out.append((Fp2(x0[i], x1[i]) * zi, Fp2(y0[i], y1[i]) * zi))
+    return out

@@ -9,8 +9,19 @@ reference call sites: /root/reference/constraint/bn254/solver.go:35,
     minor-most and maps onto the 128-wide VPU lanes; a trailing 16-limb axis
     would be padded 16->128 on TPU (8x waste).
   * the TPU VPU has no 64-bit lanes; 16x16->32 products never overflow a lane
-  * Montgomery form throughout; multiplication = column-accumulation REDC with
-    the limb loop unrolled at trace time (static shapes, XLA-fusable)
+  * Montgomery form throughout. Multiplication is **full-word Montgomery**:
+    one schoolbook limb product a*b, one low-half product with
+    P' = -p^-1 mod R (R = 2^(16n)), one full product m*p, then
+    (T + m*p)/R — NO per-limb sequential REDC loop. Limb products are
+    antidiagonal sums of the 16x16->32 outer product, computed as a matmul
+    with a constant 0/1 selection matrix: exact in f32 (values < 2^20, and
+    the 0/1 side is exact in bf16, so even TPU bf16x3 f32 matmuls are exact),
+    MXU-eligible, and only a handful of XLA ops (the previous
+    dynamic_update_slice formulation took XLA:CPU ~6 minutes to compile one
+    MSM; this one compiles in seconds).
+  * **lazy range [0, 2p)**: mul/add/sub outputs stay < 2p, not < p (standard
+    SIMD-Montgomery trick; sound because 4p < R). Comparisons canonicalize.
+    Encoders emit canonical (< p) values; decode reduces mod p.
   * wide accumulations (segment sums for sparse matvec / linear-expression
     evaluation) keep lazily-unreduced 32-bit columns and reduce once at the end
   * the same code runs inside Pallas kernels (it is pure jnp)
@@ -49,12 +60,34 @@ class Field:
         self.n = spec.n_limbs
         p = spec.modulus
         self._p_cols = [_u32(l) for l in int_to_limbs(p, self.n)]
+        self._2p_cols = [_u32(l) for l in int_to_limbs(2 * p, self.n)]
         self._pprime = _u32(spec.pprime)
         # 2^(16k) mod p for folding wide values, k up to 4*n is plenty
         self._fold = [int((1 << (SHIFT * k)) % p) for k in range(4 * self.n + 4)]
         self._r2 = self.const(spec.r2, mont=False)
         self._one_mont = self.const(spec.one_mont, mont=False)
         self._zero = self.const(0, mont=False)
+        # --- full-word Montgomery constants -----------------------------
+        n = self.n
+        # antidiagonal selection matrix: SEL[k, i*n + j] = 1 iff i + j == k.
+        # 0/1-valued => the f32 matmul is exact even under TPU bf16x3 passes.
+        sel = np.zeros((2 * n - 1, n * n), dtype=np.float32)
+        for i in range(n):
+            for j in range(n):
+                sel[i + j, i * n + j] = 1.0
+        self._sel_full = jnp.asarray(sel)
+        self._sel_low = jnp.asarray(sel[:n].copy())  # rows k < n (mod-R product)
+        self._pprime_limbs = jnp.asarray(int_to_limbs(spec.pprime_full, n))
+        self._p_limbs_arr = jnp.asarray(int_to_limbs(p, n))
+        R_full = 1 << (SHIFT * n)
+        self._2p_limbs_arr = jnp.asarray(int_to_limbs(2 * p, n))
+        self._r_minus_p = jnp.asarray(int_to_limbs(R_full - p, n))
+        self._r_minus_2p = jnp.asarray(int_to_limbs(R_full - 2 * p, n))
+        # per-COLUMN constant for sub(): col_i = 2p_i + 0xffff (+1 at col 0),
+        # so a + const - b  ==  a - b + 2p + R in column arithmetic (see sub())
+        sub_cols = int_to_limbs(2 * p, n).astype(np.uint64) + LIMB_MASK
+        sub_cols[0] += 1
+        self._sub_const = jnp.asarray(sub_cols.astype(np.uint32))
 
     # ------------------------------------------------------------------ utils
     def const(self, x: int, mont: bool = False) -> jnp.ndarray:
@@ -91,7 +124,10 @@ class Field:
 
     @staticmethod
     def _carry_prop(cols):
-        """Propagate carries through u32 columns -> 16-bit limbs + final carry."""
+        """Propagate carries through u32 columns -> 16-bit limbs + final carry.
+
+        (List-of-columns form; used by the generic wide reducer. The hot paths
+        use the vectorized Kogge-Stone `_prop` below.)"""
         out = []
         carry = None
         for c in cols:
@@ -112,26 +148,76 @@ class Field:
         ge = borrow == 0  # no borrow -> a >= p
         return [jnp.where(ge, d, a) for d, a in zip(diff, limbs)]
 
+    # -------- vectorized (limb-axis) carry plumbing: Kogge-Stone, log depth --
+    @staticmethod
+    def _shift_up(x, d: int):
+        """x[i] <- x[i-d] along the leading (limb) axis, zero-filled."""
+        pad = [(d, 0)] + [(0, 0)] * (x.ndim - 1)
+        return jnp.pad(x, pad)[: x.shape[0]]
+
+    @staticmethod
+    def _prop(s):
+        """Full carry propagation of u32 columns s (m, *batch), each < 2^22.
+
+        Returns (limbs (m,*batch) u32 < 2^16, carry_out (*batch,) u32).
+        One pre-pass folds multi-bit carries (cols < 2^22 -> < 2^17), then a
+        Kogge-Stone generate/propagate prefix resolves the remaining 0/1
+        carries in log2(m) rounds of whole-array ops — no 16-deep scalar
+        chains (those made XLA:CPU fusion clusters explode)."""
+        m = s.shape[0]
+        hi = s >> SHIFT  # < 2^6
+        lo = s & MASK
+        s2 = lo + Field._shift_up(hi, 1)  # < 2^16 + 2^6 < 2^17
+        extra = hi[m - 1]  # carry out of the top column from the pre-pass
+        g = s2 >> SHIFT  # generate: 0/1
+        pr = ((s2 & MASK) == MASK).astype(jnp.uint32)
+        d = 1
+        while d < m:
+            g = g | (pr & Field._shift_up(g, d))
+            pr = pr & Field._shift_up(pr, d)
+            d <<= 1
+        cin = Field._shift_up(g, 1)
+        limbs = (s2 + cin) & MASK
+        carry_out = extra + g[m - 1]
+        return limbs, carry_out
+
+    def _ge_sub(self, x, c_limbs, r_minus_c_limbs):
+        """x - C if x >= C else x, for 16-bit limb array x (m,*batch) and a
+        host constant C given as limbs plus (2^(16m) - C) limbs.
+
+        Computed as t = x + (R - C): carry out <=> x >= C; then select."""
+        t = x + self.broadcast_const(r_minus_c_limbs, x)
+        t_limbs, carry = self._prop(t)
+        return jnp.where(carry > 0, t_limbs, x)
+
+    def _prop_reduce(self, s, r_minus_c_limbs, carry_threshold: int):
+        """One fused pass: propagate raw columns s (< 2^21) AND conditionally
+        subtract a constant C (given as R - C limbs).
+
+        Stacks the two candidates (s, s + (R-C)) on a new axis and runs a
+        single Kogge-Stone propagation over both — half the XLA op count of
+        two separate passes. Selects candidate 1 when its carry-out reaches
+        `carry_threshold` (1 when s's value < R; 2 when s carries a known +R
+        offset, as in sub())."""
+        rc = self.broadcast_const(r_minus_c_limbs, s)
+        cand = jnp.stack([s, s + rc], axis=1)  # (n, 2, *batch)
+        limbs, carry = self._prop(cand)
+        return jnp.where(carry[1] >= carry_threshold, limbs[:, 1], limbs[:, 0])
+
     # ------------------------------------------------------------------- add/sub
     def add(self, a, b):
-        cols = [x + y for x, y in zip(self._cols(a), self._cols(b))]
-        limbs, _ = self._carry_prop(cols)  # carry is always 0: a+b < 2p < 2^(16n)
-        limbs = self._sub_p_if_ge(limbs, self._p_cols)
-        return self._stack(limbs)
+        """a + b with a, b < 2p; result < 2p (lazy range)."""
+        # value < 4p < R: candidate-1 carry of 1 means a+b >= 2p
+        return self._prop_reduce(a + b, self._r_minus_2p, 1)
 
     def sub(self, a, b):
-        two16 = _u32(1 << SHIFT)
-        borrow = None
-        diff = []
-        for x, y in zip(self._cols(a), self._cols(b)):
-            t = x + two16 - y if borrow is None else x + two16 - y - borrow
-            diff.append(t & MASK)
-            borrow = _u32(1) - (t >> SHIFT)
-        under = borrow != 0
-        # if underflow, add p back
-        fixed_cols = [d + p for d, p in zip(diff, self._p_cols)]
-        fixed, _ = self._carry_prop(fixed_cols)
-        return self._stack([jnp.where(under, f, d) for f, d in zip(fixed, diff)])
+        """a - b with a, b < 2p; result < 2p (lazy range).
+
+        Column arithmetic: a_i + (2p_i + 0xffff + [i=0]) - b_i sums to
+        (a - b + 2p) + R; the known +R offset means the conditional-subtract
+        candidate carries out twice when a - b + 2p >= 2p."""
+        t = a + self.broadcast_const(self._sub_const, a) - b
+        return self._prop_reduce(t, self._r_minus_2p, 2)
 
     def neg(self, a):
         return self.sub(self.broadcast_const(self._zero, a), a)
@@ -144,50 +230,51 @@ class Field:
         return jnp.broadcast_to(c.reshape((self.n,) + (1,) * (like.ndim - 1)), like.shape)
 
     # --------------------------------------------------------------- mont mul
-    def _p_arr(self, batch_ndim: int):
-        """(n, 1, 1, ...) modulus limbs for broadcasting against batch dims."""
-        return jnp.asarray(np.array([int(c) for c in self._p_cols], dtype=np.uint32)).reshape(
-            (self.n,) + (1,) * batch_ndim
-        )
+    def _limb_mul_cols(self, a, b, low_only: bool = False):
+        """u32 columns of the limb product a*b, as a (2n, *batch) array
+        (or (n, *batch) if low_only: the product mod R). Columns < 2^21.
 
-    @staticmethod
-    def _slice_add(t, x, i: int):
-        """t[i:i+len(x)] += x via slice/update-slice (NOT scatter: XLA's
-        scatter lowering makes compile time explode ~20x)."""
-        m = x.shape[0]
-        chunk = jax.lax.dynamic_slice_in_dim(t, i, m, axis=0)
-        return jax.lax.dynamic_update_slice_in_dim(t, chunk + x, i, axis=0)
-
-    def _redc(self, t):
-        """Montgomery-reduce a (2n, *batch) column accumulator in place.
-
-        Columns must be < 2^22 on entry so the += below cannot overflow u32.
-        Returns canonical (n, *batch)."""
+        a, b: (n, *batch) 16-bit limbs. Antidiagonal sums of the 16x16->32
+        outer product via one constant 0/1 f32 matmul (exact; MXU-eligible)."""
         n = self.n
-        p_arr = self._p_arr(t.ndim - 1)
-        for i in range(n):
-            m = (t[i] * self._pprime) & MASK
-            pm = p_arr * m[None]
-            t = self._slice_add(t, pm & MASK, i)
-            t = self._slice_add(t, pm >> SHIFT, i + 1)
-            # column i is now 0 mod 2^16; push its carry up and retire it
-            t = self._slice_add(t, (t[i] >> SHIFT)[None], i + 1)
-        limbs, _ = self._carry_prop([t[n + i] for i in range(n)])  # result < 2p
-        limbs = self._sub_p_if_ge(limbs, self._p_cols)
-        return self._stack(limbs)
+        outer = a[:, None] * b[None]  # (n, n, *batch) u32, exact
+        batch = outer.shape[2:]
+        flat = outer.reshape(n * n, -1)
+        lo = (flat & MASK).astype(jnp.float32)
+        hi = (flat >> SHIFT).astype(jnp.float32)
+        sel = self._sel_low if low_only else self._sel_full
+        tlo = jax.lax.dot(sel, lo, precision=jax.lax.Precision.HIGHEST)
+        thi = jax.lax.dot(sel, hi, precision=jax.lax.Precision.HIGHEST)
+        tlo = tlo.astype(jnp.uint32).reshape((-1,) + batch)
+        thi = thi.astype(jnp.uint32).reshape((-1,) + batch)
+        # columns: t[k] = tlo[k] + thi[k-1]
+        if low_only:
+            return tlo[:n] + self._shift_up(thi, 1)[:n]
+        tlo_full = jnp.concatenate([tlo, jnp.zeros_like(tlo[:1])], axis=0)
+        thi_full = jnp.concatenate([jnp.zeros_like(thi[:1]), thi], axis=0)
+        return tlo_full + thi_full
 
     def mul(self, a, b):
-        """Montgomery product a*b*R^-1 mod p. Inputs/outputs canonical (<p)."""
+        """Full-word Montgomery product a*b*R^-1 mod p.
+
+        Inputs < 2p (lazy range); output < 2p. Sound since 4p < R:
+        T = a*b < 4p^2 < R*p, so (T + m*p)/R < 2p."""
         n = self.n
         a, b = jnp.broadcast_arrays(a, b)
-        t = jnp.zeros((2 * n,) + a.shape[1:], dtype=jnp.uint32)
-        # schoolbook partial products row by row, lo/hi split
-        # (each column accumulates <= 2n values < 2^16 -> < 2^21, no overflow)
-        for i in range(n):
-            prod = a[i][None] * b  # (n, *batch)
-            t = self._slice_add(t, prod & MASK, i)
-            t = self._slice_add(t, prod >> SHIFT, i + 1)
-        return self._redc(t)
+        t = self._limb_mul_cols(a, b)  # (2n, *batch) columns < 2^21
+        # m = (T mod R) * P' mod R  (P' = -p^-1 mod R)
+        t_lo_limbs, _ = self._prop(t[:n])  # mod R: drop the out-carry
+        ppr = self.broadcast_const(self._pprime_limbs, a)
+        m_cols = self._limb_mul_cols(t_lo_limbs, ppr, low_only=True)
+        m_limbs, _ = self._prop(m_cols)  # mod R
+        # S = T + m*p  (columns < 2^22); S mod R == 0; result = S / R
+        p_arr = self.broadcast_const(self._p_limbs_arr, a)
+        mp = self._limb_mul_cols(m_limbs, p_arr)
+        s = t + mp
+        _, carry = self._prop(s[:n])  # low half is all zeros mod R
+        hi = s[n:].at[0].add(carry)
+        limbs, _ = self._prop(hi)  # result < 2p < R: no out-carry
+        return limbs
 
     def square(self, a):
         return self.mul(a, a)
@@ -196,17 +283,33 @@ class Field:
         return self.mul(a, self.broadcast_const(self._r2, a))
 
     def from_mont(self, a):
-        # multiply by 1 (non-Montgomery) == REDC(a zero-extended to 2n columns)
+        """REDC(a): a*R^-1 mod p. Input < 2p; output <= p (p only when a = p
+        represents zero — harmless: decode reduces mod p, and as an MSM
+        scalar over fr, r*P is the identity anyway)."""
         n = self.n
-        t = jnp.concatenate([a, jnp.zeros_like(a)], axis=0)
-        return self._redc(t)
+        ppr = self.broadcast_const(self._pprime_limbs, a)
+        m_cols = self._limb_mul_cols(a, ppr, low_only=True)
+        m_limbs, _ = self._prop(m_cols)
+        p_arr = self.broadcast_const(self._p_limbs_arr, a)
+        mp = self._limb_mul_cols(m_limbs, p_arr)
+        s = mp.at[:n].add(a)
+        _, carry = self._prop(s[:n])
+        hi = s[n:].at[0].add(carry)
+        limbs, _ = self._prop(hi)
+        return limbs
 
     # ------------------------------------------------------------- comparisons
+    def canon(self, a):
+        """Map the lazy range [0, 2p) to canonical [0, p)."""
+        return self._ge_sub(a, self._p_limbs_arr, self._r_minus_p)
+
     def is_zero(self, a):
-        return jnp.all(a == 0, axis=0)
+        """a == 0 mod p for a in [0, 2p]: representation is 0 or p."""
+        p_arr = self.broadcast_const(self._p_limbs_arr, a)
+        return jnp.all(a == 0, axis=0) | jnp.all(a == p_arr, axis=0)
 
     def eq(self, a, b):
-        return jnp.all(a == b, axis=0)
+        return self.is_zero(self.sub(a, b))
 
     @staticmethod
     def select(cond, a, b):
@@ -294,22 +397,22 @@ class Field:
         return self._stack(limbs)
 
     def sum(self, a, axis: int = 1):
-        """Sum of canonical elements along batch axis `axis` (>=1), mod p."""
+        """Sum of elements (lazy range < 2p) along batch axis `axis`, mod p."""
         assert axis >= 1
         k = a.shape[axis]
         assert k <= 1 << 16, "sum too long for lazy accumulation"
         cols_arr = jnp.sum(a, axis=axis)
-        bound = k * (self.spec.modulus - 1)
+        bound = k * (2 * self.spec.modulus - 1)
         return self.reduce_columns(self._cols(cols_arr), bound)
 
     def segment_sum(self, values, segment_ids, num_segments: int, max_segment: int = 1 << 16):
-        """Segmented modular sum: values (n_limbs, N) canonical, ids (N,).
+        """Segmented modular sum: values (n_limbs, N) in [0, 2p), ids (N,).
 
         max_segment bounds the number of elements per segment (host-side),
         needed for the lazy-accumulation overflow analysis."""
         assert max_segment <= 1 << 16
         cols = jnp.zeros((self.n, num_segments), dtype=jnp.uint32).at[:, segment_ids].add(values)
-        bound = max_segment * (self.spec.modulus - 1)
+        bound = max_segment * (2 * self.spec.modulus - 1)
         return self.reduce_columns(self._cols(cols), bound)
 
     # ---------------------------------------------------------------- helpers

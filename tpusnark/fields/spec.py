@@ -79,19 +79,21 @@ class FieldSpec:
     r2: int = field(init=False)
     r3: int = field(init=False)
     pprime: int = field(init=False)  # -p^-1 mod 2^16
+    pprime_full: int = field(init=False)  # -p^-1 mod R (full-word Montgomery)
     one_mont: int = field(init=False)
 
     def __post_init__(self):
         p = self.modulus
         nbits = LIMB_BITS * self.n_limbs
         assert p < (1 << nbits)
-        # Montgomery REDC bound: need p < R/4 for lazy bounds; check p < R/2.
-        assert p < (1 << (nbits - 1)), "modulus too large for limb count"
+        # full-word Montgomery with lazy [0,2p) range is sound iff 4p < R
+        assert p < (1 << (nbits - 2)), "modulus too large for limb count (need 4p < R)"
         r = (1 << nbits) % p
         object.__setattr__(self, "r", r)
         object.__setattr__(self, "r2", (r * r) % p)
         object.__setattr__(self, "r3", (r * r * r) % p)
         object.__setattr__(self, "pprime", (-pow(p, -1, 1 << LIMB_BITS)) % (1 << LIMB_BITS))
+        object.__setattr__(self, "pprime_full", (-pow(p, -1, 1 << nbits)) % (1 << nbits))
         object.__setattr__(self, "one_mont", r % p)
 
     # ---- host-side helpers -------------------------------------------------
@@ -136,7 +138,8 @@ BN254_FP = FieldSpec("bn254_fp", BN254_FP_MOD, 16)
 BLS12_381_FR_MOD = 0x73EDA753299D7D483339D80809A1D80553BDA402FFFE5BFEFFFFFFFF00000001
 BLS12_381_FP_MOD = 0x1A0111EA397FE69A4B1BA7B6434BACD764774B84F38512BF6730D2A0F6B0F6241EABFFFEB153FFFFB9FEFFFFFFFFAAAB
 
-BLS12_381_FR = FieldSpec("bls12_381_fr", BLS12_381_FR_MOD, 16)
+# 255-bit modulus: 17 limbs so the full-word-Montgomery bound 4p < 2^(16*17) holds
+BLS12_381_FR = FieldSpec("bls12_381_fr", BLS12_381_FR_MOD, 17)
 BLS12_381_FP = FieldSpec("bls12_381_fp", BLS12_381_FP_MOD, 24)
 
 # Tiny field for exhaustive kernel tests — the analog of gnark's generated

@@ -25,6 +25,8 @@ O(N) chunked-scan accumulation kernel is the planned upgrade.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -33,6 +35,20 @@ from ..curves.jcurve import CurveOps
 from ..fields.jfield import Field
 
 tree_map = jax.tree_util.tree_map
+
+
+@functools.lru_cache(maxsize=None)
+def get_msm(curve: str = "g1", c: int = 13) -> "MSM":
+    """Shared MSM engine per (curve, window size): reuses jit caches across
+    callers (a fresh engine would recompile every graph)."""
+    from ..curves.jcurve import g1_ops, g2_ops
+    from ..fields.jfield import get_field
+    from ..fields.spec import BN254_FP, BN254_FR
+
+    fp = get_field(BN254_FP)
+    fr = get_field(BN254_FR)
+    ops = g1_ops(fp) if curve == "g1" else g2_ops(fp)
+    return MSM(ops, fr, c=c)
 
 
 def window_digits(scalars, n_limbs: int, c: int, n_windows: int):
