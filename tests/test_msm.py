@@ -20,7 +20,7 @@ rng = random.Random(11)
 fr = Field(BN254_FR)
 
 
-def run_msm_g1(points, scalars, c=8):
+def run_msm_g1(points, scalars, c=6):
     msm = get_msm("g1", c)
     sc = fr.array(scalars, mont=False)
     out = msm(enc_g1(points), sc)
@@ -67,7 +67,7 @@ def test_msm_g2():
     n = 8
     pts = [G2.mul(g, rng.randrange(1, R)) for _ in range(n)]
     scs = [rng.randrange(R) for _ in range(n)]
-    msm = get_msm("g2", 8)
+    msm = get_msm("g2", 4)
     out = msm(enc_g2(pts), fr.array(scs, mont=False))
     got = dec_g2_proj(out)[0]
     want = None

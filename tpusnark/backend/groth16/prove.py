@@ -29,7 +29,7 @@ from ...curves.jcurve import g1_ops, g2_ops
 from ...curves.ref import G1, G2
 from ...fields.jfield import get_field
 from ...fields.spec import BN254_FP, BN254_FR
-from ...msm.pippenger import MSM, get_msm
+from ...msm.pippenger import MSM, get_msm_for
 from ...poly.ntt import get_ntt
 from .keys import Proof, ProvingKey
 
@@ -37,8 +37,8 @@ _fr = get_field(BN254_FR)
 _fp = get_field(BN254_FP)
 
 
-def _engines():
-    return get_msm("g1"), get_msm("g2")
+def _engines(n_points: int):
+    return get_msm_for("g1", n_points), get_msm_for("g2", n_points)
 
 
 def _scalars_dev(vals: list[int]):
@@ -96,7 +96,7 @@ def prove(cs: ConstraintSystem, pk: ProvingKey, assignment: dict, rng=None) -> P
     h_dev = compute_h_dev(A, B, C, n)
 
     dev = pk.device()
-    msm_g1, msm_g2 = _engines()
+    msm_g1, msm_g2 = _engines(cs.n_wires)
 
     w_dev = _scalars_dev(W)
     priv_dev = w_dev[:, cs.n_public :]

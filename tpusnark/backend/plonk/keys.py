@@ -1,0 +1,79 @@
+"""PLONK key and proof containers.
+
+Reference shapes: ProvingKey/VerifyingKey/Trace at
+/root/reference/backend/plonk/bn254/setup.go:62-107 and the Proof struct in
+backend/plonk/bn254/prove.go. The proving key here keeps every prover table
+device-resident (coefficient forms + 4n-coset evaluations), the TPU analog
+of gnark's in-memory trace + lazy iop basis conversions.
+
+Proof format note: this backend uses the "full opening" PLONK variant —
+the prover opens l, r, o, z, s1, s2, s3, the selectors and the quotient
+chunks at zeta (batch-folded into ONE KZG proof) plus z at omega*zeta,
+instead of gnark's linearized polynomial. Same commitments, same security
+argument, a slightly larger (constant-size) proof; chosen because the
+verifier is a plain scalar identity check. gnark-format (linearized)
+serialization is tracked as follow-up.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass
+class PlonkVerifyingKey:
+    n: int  # domain size
+    generator: int  # omega
+    k1: int
+    k2: int
+    n_public: int
+    # G1 commitments
+    ql: tuple
+    qr: tuple
+    qm: tuple
+    qo: tuple
+    qc: tuple
+    s1: tuple
+    s2: tuple
+    s3: tuple
+    # KZG verification points
+    g2: tuple  # (G2, tau*G2)
+
+    def digest_points(self) -> list:
+        return [self.ql, self.qr, self.qm, self.qo, self.qc, self.s1, self.s2, self.s3]
+
+
+@dataclass
+class PlonkProvingKey:
+    vk: PlonkVerifyingKey
+    srs: object  # kzg.SRS
+    domain_n: int
+    # device tables, (L, n) Montgomery coefficient forms
+    q_coeffs: dict  # name -> (L, n)
+    s_coeffs: dict  # "s1"/"s2"/"s3" -> (L, n)
+    # device tables, (L, 4n) Montgomery coset evaluations
+    q_coset: dict
+    s_coset: dict
+    id_coset: dict  # "id1"/"id2"/"id3" -> (L, 4n): x, k1 x, k2 x on coset
+    l1_coset: object  # (L, 4n): first Lagrange poly on coset
+    zh_inv_coset: object  # (L, 4n): 1/(x^n - 1) on coset
+    # permutation values on H as ints (for the grand product):
+    s_evals_int: dict  # "s1"/"s2"/"s3" -> list[int] length n
+
+
+@dataclass
+class PlonkProof:
+    # commitments
+    l_com: tuple
+    r_com: tuple
+    o_com: tuple
+    z_com: tuple
+    h1_com: tuple
+    h2_com: tuple
+    h3_com: tuple
+    # evaluations at zeta (and z at omega*zeta)
+    evals: dict  # name -> int
+    z_omega_zeta: int
+    # KZG opening proofs
+    w_zeta: tuple
+    w_omega_zeta: tuple

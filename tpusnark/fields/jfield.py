@@ -236,17 +236,22 @@ class Field:
 
         a, b: (n, *batch) 16-bit limbs. Antidiagonal sums of the 16x16->32
         outer product via one constant 0/1 f32 matmul (exact; MXU-eligible)."""
+        import math
+
         n = self.n
         outer = a[:, None] * b[None]  # (n, n, *batch) u32, exact
         batch = outer.shape[2:]
-        flat = outer.reshape(n * n, -1)
+        # explicit sizes (not -1): batch may contain 0-length dims when called
+        # on empty slices inside associative_scan's recursion
+        flat = outer.reshape(n * n, math.prod(batch))
         lo = (flat & MASK).astype(jnp.float32)
         hi = (flat >> SHIFT).astype(jnp.float32)
         sel = self._sel_low if low_only else self._sel_full
+        rows = n if low_only else 2 * n - 1
         tlo = jax.lax.dot(sel, lo, precision=jax.lax.Precision.HIGHEST)
         thi = jax.lax.dot(sel, hi, precision=jax.lax.Precision.HIGHEST)
-        tlo = tlo.astype(jnp.uint32).reshape((-1,) + batch)
-        thi = thi.astype(jnp.uint32).reshape((-1,) + batch)
+        tlo = tlo.astype(jnp.uint32).reshape((rows,) + batch)
+        thi = thi.astype(jnp.uint32).reshape((rows,) + batch)
         # columns: t[k] = tlo[k] + thi[k-1]
         if low_only:
             return tlo[:n] + self._shift_up(thi, 1)[:n]

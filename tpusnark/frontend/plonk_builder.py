@@ -1,0 +1,299 @@
+"""Plonkish circuit builder: the gnark SCS builder analog.
+
+Reference surface: /root/reference/frontend/cs/scs/builder.go
+(addPlonkConstraint :190, addMulGate :145, addAddGate :159) implementing the
+same frontend.API as the R1CS builder but emitting
+qL*a + qR*b + qM*ab + qO*c + qC = 0 gates.
+
+Representation choice (slightly stronger than gnark's single-Term values):
+a circuit value is an *affine* form c*wire + k, so additions/scalings with
+constants are free and a generic mul of two affine forms folds into ONE gate
+(qM = c1*c2, qL = c1*k2, qR = c2*k1, qC = k1*k2). gnark emits separate add
+gates for constant offsets; this builder does not need to.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from ..constraint.scs import Gate, SparseConstraintSystem
+from ..constraint.system import COEFF_MINUS_ONE, COEFF_ONE
+
+
+@dataclass(frozen=True)
+class AVar:
+    """c * W[wire] + k."""
+
+    c: int
+    wire: int
+    k: int
+
+
+class PlonkBuilder:
+    def __init__(self, modulus: int):
+        self.cs = SparseConstraintSystem(modulus)
+        self.p = modulus
+        self._booleans: set = set()
+
+    # ----------------------------------------------------------------- inputs
+    def public(self, name: str) -> AVar:
+        return AVar(1, self.cs.add_public(name), 0)
+
+    def secret(self, name: str) -> AVar:
+        return AVar(1, self.cs.add_secret(name), 0)
+
+    # ------------------------------------------------------------ conversions
+    def _affine(self, v) -> AVar:
+        if isinstance(v, AVar):
+            return v
+        return AVar(0, 0, int(v) % self.p)
+
+    def constant_value(self, v):
+        if not isinstance(v, AVar):
+            return int(v) % self.p
+        return v.k % self.p if v.c % self.p == 0 else None
+
+    def _cid(self, c: int) -> int:
+        return self.cs.coeff_id(c)
+
+    def _new_out(self) -> tuple[AVar, int]:
+        w = self.cs.new_internal()
+        return AVar(1, w, 0), w
+
+    # -------------------------------------------------------------- arithmetic
+    def add(self, a, b, *rest):
+        out = self._add2(a, b)
+        for r in rest:
+            out = self._add2(out, r)
+        return out
+
+    def _add2(self, a, b):
+        ca, cb = self.constant_value(a), self.constant_value(b)
+        if ca is not None and cb is not None:
+            return (ca + cb) % self.p
+        if ca is not None:
+            b = self._affine(b)
+            return AVar(b.c, b.wire, (b.k + ca) % self.p)
+        if cb is not None:
+            a = self._affine(a)
+            return AVar(a.c, a.wire, (a.k + cb) % self.p)
+        a, b = self._affine(a), self._affine(b)
+        if a.wire == b.wire:
+            c = (a.c + b.c) % self.p
+            k = (a.k + b.k) % self.p
+            return AVar(c, a.wire, k) if c else k
+        # one gate: a.c*wa + b.c*wb - out + (ka+kb) = 0
+        out, w = self._new_out()
+        self.cs.add_gate(
+            Gate(
+                xa=a.wire,
+                xb=b.wire,
+                xc=w,
+                qL=self._cid(a.c),
+                qR=self._cid(b.c),
+                qO=COEFF_MINUS_ONE,
+                qC=self._cid((a.k + b.k) % self.p),
+            ),
+            solved_wire=w,
+        )
+        return out
+
+    def neg(self, a):
+        ca = self.constant_value(a)
+        if ca is not None:
+            return (-ca) % self.p
+        a = self._affine(a)
+        return AVar((-a.c) % self.p, a.wire, (-a.k) % self.p)
+
+    def sub(self, a, b, *rest):
+        out = self._add2(a, self.neg(b))
+        for r in rest:
+            out = self._add2(out, self.neg(r))
+        return out
+
+    def mul(self, a, b, *rest):
+        out = self._mul2(a, b)
+        for r in rest:
+            out = self._mul2(out, r)
+        return out
+
+    def _scale(self, a, c: int):
+        c = c % self.p
+        ca = self.constant_value(a)
+        if ca is not None:
+            return ca * c % self.p
+        a = self._affine(a)
+        nc = a.c * c % self.p
+        nk = a.k * c % self.p
+        return AVar(nc, a.wire, nk) if nc else nk
+
+    def _mul2(self, a, b):
+        ca, cb = self.constant_value(a), self.constant_value(b)
+        if ca is not None:
+            return self._scale(b, ca)
+        if cb is not None:
+            return self._scale(a, cb)
+        a, b = self._affine(a), self._affine(b)
+        # (c1 w1 + k1)(c2 w2 + k2) = c1c2 w1w2 + c1k2 w1 + c2k1 w2 + k1k2
+        out, w = self._new_out()
+        self.cs.add_gate(
+            Gate(
+                xa=a.wire,
+                xb=b.wire,
+                xc=w,
+                qM=self._cid(a.c * b.c % self.p),
+                qL=self._cid(a.c * b.k % self.p),
+                qR=self._cid(b.c * a.k % self.p),
+                qO=COEFF_MINUS_ONE,
+                qC=self._cid(a.k * b.k % self.p),
+            ),
+            solved_wire=w,
+        )
+        return out
+
+    def div(self, a, b):
+        cb = self.constant_value(b)
+        if cb is not None:
+            if cb == 0:
+                raise ZeroDivisionError("division by constant zero in circuit")
+            return self._scale(a, pow(cb, -1, self.p))
+        a, b = self._affine(a), self._affine(b)
+        # out * b = a  ->  qM(out*wb)... out is a fresh single wire:
+        # gate(xa=out, xb=b.wire, xc=a.wire):
+        #   b.c*(out*wb) + b.k*out - a.c*wa - a.k = 0
+        out, w = self._new_out()
+        self.cs.add_gate(
+            Gate(
+                xa=w,
+                xb=b.wire,
+                xc=a.wire,
+                qM=self._cid(b.c),
+                qL=self._cid(b.k),
+                qO=self._cid((-a.c) % self.p),
+                qC=self._cid((-a.k) % self.p),
+            ),
+            solved_wire=w,
+        )
+        return out
+
+    def inverse(self, a):
+        return self.div(1, a)
+
+    def square(self, a):
+        return self.mul(a, a)
+
+    # ----------------------------------------------------------------- boolean
+    def assert_is_boolean(self, a):
+        ca = self.constant_value(a)
+        if ca is not None:
+            assert ca in (0, 1), "constant not boolean"
+            return
+        a = self._affine(a)
+        key = (a.c, a.wire, a.k)
+        if key in self._booleans:
+            return
+        self._booleans.add(key)
+        # v^2 - v = 0 with v = c*w + k:
+        # c^2 w^2 + (2ck - c) w + k^2 - k = 0
+        self.cs.add_gate(
+            Gate(
+                xa=a.wire,
+                xb=a.wire,
+                xc=a.wire,
+                qM=self._cid(a.c * a.c % self.p),
+                qL=self._cid((2 * a.c * a.k - a.c) % self.p),
+                qC=self._cid((a.k * a.k - a.k) % self.p),
+            ),
+            dbg="assertIsBoolean",
+        )
+
+    def and_(self, a, b):
+        self.assert_is_boolean(a)
+        self.assert_is_boolean(b)
+        return self.mul(a, b)
+
+    def or_(self, a, b):
+        self.assert_is_boolean(a)
+        self.assert_is_boolean(b)
+        return self.sub(self.add(a, b), self.mul(a, b))
+
+    def xor(self, a, b):
+        self.assert_is_boolean(a)
+        self.assert_is_boolean(b)
+        return self.sub(self.add(a, b), self._scale(self.mul(a, b), 2))
+
+    def select(self, cond, a, b):
+        self.assert_is_boolean(cond)
+        return self.add(b, self.mul(cond, self.sub(a, b)))
+
+    def is_zero(self, a):
+        ca = self.constant_value(a)
+        if ca is not None:
+            return 1 if ca == 0 else 0
+
+        def inv_hint(p, ins):
+            (x,) = ins
+            return [pow(x, -1, p) if x % p else 0]
+
+        (inv,) = self.new_hint(inv_hint, 1, a)
+        b = self.sub(1, self.mul(a, inv))
+        # b * a == 0
+        self.assert_is_equal(self.mul(b, a), 0)
+        return b
+
+    # -------------------------------------------------------------- assertions
+    def assert_is_equal(self, a, b):
+        d = self.sub(a, b)
+        cd = self.constant_value(d)
+        if cd is not None:
+            if cd != 0:
+                raise AssertionError("constant constraint violated at compile time")
+            return
+        d = self._affine(d)
+        self.cs.add_gate(
+            Gate(
+                xa=d.wire,
+                xb=d.wire,
+                xc=d.wire,
+                qL=self._cid(d.c),
+                qC=self._cid(d.k),
+            ),
+            dbg="assertIsEqual",
+        )
+
+    def assert_is_different(self, a, b):
+        self.inverse(self.sub(a, b))
+
+    # ------------------------------------------------------------------- bits
+    def to_binary(self, a, nbits: int):
+        def bits_hint(p, ins):
+            (x,) = ins
+            return [(x >> i) & 1 for i in range(nbits)]
+
+        outs = self.new_hint(bits_hint, nbits, a)
+        acc = 0
+        for i, bv in enumerate(outs):
+            self.assert_is_boolean(bv)
+            acc = self.add(acc, self._scale(bv, 1 << i))
+        self.assert_is_equal(acc, a)
+        return outs
+
+    def from_binary(self, bits):
+        acc = 0
+        for i, bv in enumerate(bits):
+            self.assert_is_boolean(bv)
+            acc = self.add(acc, self._scale(bv, 1 << i))
+        return acc
+
+    # ------------------------------------------------------------------ hints
+    def new_hint(self, fn, n_out: int, *inputs):
+        triples = []
+        for v in inputs:
+            av = self._affine(v)
+            triples.append((av.c, av.wire, av.k))
+        outs = self.cs.add_hint(fn, triples, n_out)
+        return [AVar(1, w, 0) for w in outs]
+
+    # --------------------------------------------------------------- finalize
+    def compile(self) -> SparseConstraintSystem:
+        return self.cs.finalize()

@@ -51,6 +51,19 @@ def get_msm(curve: str = "g1", c: int = 13) -> "MSM":
     return MSM(ops, fr, c=c)
 
 
+def auto_c(n_points: int) -> int:
+    """Pippenger window size for n points: ~log2(n), clamped. The bucket
+    scans cost O(2^c) lanes x c rounds per window, so oversizing c for small
+    n wastes orders of magnitude of work (gnark-crypto picks c from n the
+    same way in MultiExpConfig)."""
+    return max(2, min(13, max(1, n_points).bit_length() - 1))
+
+
+def get_msm_for(curve: str, n_points: int) -> "MSM":
+    """MSM engine with window size adapted to the problem size."""
+    return get_msm(curve, auto_c(n_points))
+
+
 def window_digits(scalars, n_limbs: int, c: int, n_windows: int):
     """(n_limbs, N) normal-form 16-bit limbs -> (n_windows, N) c-bit digits."""
     assert c <= 16

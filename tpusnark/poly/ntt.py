@@ -54,8 +54,12 @@ class NTT:
         # happens outside any trace (no leaked tracers).
         self.ntt = jax.jit(self.ntt)
         self.intt = jax.jit(self.intt)
-        self._ntt_coset_j = jax.jit(lambda x, cs: self.ntt(self.field.mul(x, cs)))
-        self._intt_coset_j = jax.jit(lambda x, csi: self.field.mul(self.intt(x), csi))
+        self._ntt_coset_j = jax.jit(
+            lambda x, cs: self.ntt(self.field.mul(x, self._bcast_table(cs, x)))
+        )
+        self._intt_coset_j = jax.jit(
+            lambda x, csi: self.field.mul(self.intt(x), self._bcast_table(csi, x))
+        )
 
     # lazily built: only provers that do coset evaluations pay for these
     def _coset_tables(self):
@@ -69,7 +73,9 @@ class NTT:
     def _stages(self, x, table):
         """Iterative DIT butterflies; x must already be bit-reversed.
 
-        x: (L, n). Stage s (half = 2^s) pairs positions q and q^half inside
+        x: (L, *batch, n) — the domain axis is LAST, extra middle axes are
+        batch (used e.g. to fuse the 3 Groth16 INTTs or to batch four-step
+        rows). Stage s (half = 2^s) pairs positions q and q^half inside
         blocks of 2^(s+1), with twiddle w^(stride * (q mod half)). The body is
         shape-uniform across stages so a single lax.fori_loop compiles one
         stage graph instead of k unrolled copies (XLA compile time was
@@ -87,19 +93,23 @@ class NTT:
             idx_o = (q | half).astype(jnp.int32)
             idx_e = (q & ~half).astype(jnp.int32)
             tw_idx = ((q & (half - 1)) * stride).astype(jnp.int32)
-            tw = table[:, tw_idx]
-            o = x[:, idx_o]
-            e = x[:, idx_e]
+            tw = table[:, tw_idx].reshape((f.n,) + (1,) * (x.ndim - 2) + (n,))
+            o = x[..., idx_o]
+            e = x[..., idx_e]
             t = f.mul(o, tw)
             return jnp.where(lo, f.add(e, t), f.sub(e, t))
 
         return jax.lax.fori_loop(0, self.k, body, x)
 
+    def _bcast_table(self, tbl, x):
+        """(L, n) table -> broadcastable against x (L, *batch, n)."""
+        return tbl.reshape((self.field.n,) + (1,) * (x.ndim - 2) + (self.n,))
+
     def ntt(self, x):
         """coefficients -> evaluations on the subgroup (natural order)."""
         if self.n == 1:
             return x
-        x = x[:, self._bitrev]
+        x = x[..., self._bitrev]
         return self._stages(x, self._tw_fwd)
 
     def intt(self, x):
@@ -107,14 +117,14 @@ class NTT:
         if self.n == 1:
             return x
         f = self.field
-        x = x[:, self._bitrev]
+        x = x[..., self._bitrev]
         x = self._stages(x, self._tw_inv)
         return f.mul(x, f.broadcast_const(self._n_inv, x))
 
     def coset_scale(self, x, inv: bool = False):
         """Multiply coefficient i by shift^i (or shift^-i)."""
         cs, csi = self._coset_tables()
-        return self.field.mul(x, csi if inv else cs)
+        return self.field.mul(x, self._bcast_table(csi if inv else cs, x))
 
     def ntt_coset(self, x):
         """coefficients -> evaluations on the coset shift*<w>."""
