@@ -69,8 +69,7 @@ def bench_msm(log2n: int):
     reps = 3
     t0 = time.perf_counter()
     for _ in range(reps):
-        out = msm(points, scalars)
-    jax.block_until_ready(out)
+        out = jax.block_until_ready(msm(points, scalars))
     dt = (time.perf_counter() - t0) / reps
     pps = n / dt
     return {
@@ -97,8 +96,7 @@ def bench_ntt(log2n: int):
     reps = 5
     t0 = time.perf_counter()
     for _ in range(reps):
-        out = ntt.ntt(x)
-    jax.block_until_ready(out)
+        out = jax.block_until_ready(ntt.ntt(x))
     ms = (time.perf_counter() - t0) / reps * 1e3
     return {
         "metric": f"bn254_fr_ntt_2^{log2n}_ms",
@@ -108,15 +106,62 @@ def bench_ntt(log2n: int):
     }
 
 
+REF_GROTH16_2_20_S = 3.0  # gnark CPU Groth16 prove at 2^20 constraints, 16-core estimate
+
+
+def bench_groth16(log2n: int):
+    """End-to-end Groth16 prove wall-clock on a 2^log2n-constraint circuit
+    (mul chain). Setup/compile excluded; solve included (like the reference's
+    prover timer, backend/groth16/bn254/prove.go:319)."""
+    import jax
+
+    from tpusnark.backend import groth16
+    from tpusnark.fields.spec import BN254_FR
+    from tpusnark.frontend.builder import Builder
+
+    p = BN254_FR.modulus
+    n = (1 << log2n) - 8
+    b = Builder(p)
+    x = b.secret("x")
+    y = b.public("y")
+    acc = x
+    for _ in range(n - 1):
+        acc = b.mul(acc, x)
+    b.assert_is_equal(b.add(acc, x, 5), y)
+    cs = b.compile()
+    assign = {"x": 3, "y": (pow(3, n, p) + 3 + 5) % p}
+    pk, vk = groth16.setup(cs)
+    proof = groth16.prove(cs, pk, assign)  # compile + warm
+    assert groth16.verify(proof, vk, [assign["y"]])
+    reps = 2
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        proof = groth16.prove(cs, pk, assign)
+    dt = (time.perf_counter() - t0) / reps
+    scale = (1 << 20) / (1 << log2n)
+    return {
+        "metric": f"groth16_prove_2^{log2n}_s",
+        "value": round(dt, 3),
+        "unit": "s",
+        "vs_baseline": round(REF_GROTH16_2_20_S / (dt * scale), 3),
+    }
+
+
 def main():
+    from tpusnark.utils.jaxcfg import enable_compilation_cache
+
+    enable_compilation_cache()
     ap = argparse.ArgumentParser()
-    ap.add_argument("--metric", default="msm", choices=["msm", "ntt"])
+    ap.add_argument("--metric", default="msm", choices=["msm", "ntt", "groth16"])
     ap.add_argument("--n", type=int, default=None, help="log2 problem size")
+    ap.add_argument("--smoke", action="store_true", help="small sizes, fast")
     args = ap.parse_args()
     if args.metric == "msm":
-        out = bench_msm(args.n or 20)
+        out = bench_msm(args.n or (14 if args.smoke else 20))
+    elif args.metric == "groth16":
+        out = bench_groth16(args.n or (10 if args.smoke else 17))
     else:
-        out = bench_ntt(args.n or 22)
+        out = bench_ntt(args.n or (14 if args.smoke else 22))
     print(json.dumps(out))
 
 

@@ -1,0 +1,78 @@
+"""Hint registry: named out-of-circuit callbacks.
+
+gnark analog: /root/reference/constraint/solver/hint_registry.go:21-49 —
+hints are global functions keyed by an ID derived from their name, so a
+deserialized constraint system can re-bind them. Here the key is the
+qualified function name (stable across processes); ids are FNV-1a hashes of
+it like gnark's solver.GetHintID.
+"""
+
+from __future__ import annotations
+
+_REGISTRY: dict[str, object] = {}
+
+
+def fnv1a(name: str) -> int:
+    h = 0xCBF29CE484222325
+    for b in name.encode():
+        h ^= b
+        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def hint_name(fn) -> str:
+    return f"{getattr(fn, '__module__', '?')}.{getattr(fn, '__qualname__', repr(fn))}"
+
+
+def register_hint(fn, name: str | None = None):
+    """Register for lookup after deserialization. Returns the name key."""
+    key = name or hint_name(fn)
+    existing = _REGISTRY.get(key)
+    if existing is not None and existing is not fn:
+        raise ValueError(f"hint {key!r} already registered with a different function")
+    _REGISTRY[key] = fn
+    return key
+
+
+def get_hint(name: str):
+    fn = _REGISTRY.get(name)
+    if fn is None and ".bits_hint_" in name:
+        # parametric bit-decomposition hints re-materialize on demand
+        nbits = int(name.rsplit("_", 1)[1])
+        return bits_hint_factory(nbits)
+    if fn is None:
+        raise KeyError(
+            f"hint {name!r} not registered; import its module or register_hint() it"
+        )
+    return fn
+
+
+def registered() -> list[str]:
+    return sorted(_REGISTRY)
+
+
+# ---- built-in hints (the ones the builders emit) ----------------------------
+def inv_hint(p, ins):
+    (x,) = ins
+    return [pow(x, -1, p) if x % p else 0]
+
+
+_BITS_CACHE: dict[int, object] = {}
+
+
+def bits_hint_factory(nbits: int):
+    fn = _BITS_CACHE.get(nbits)
+    if fn is None:
+
+        def bits_hint(p, ins):
+            (x,) = ins
+            return [(x >> i) & 1 for i in range(nbits)]
+
+        bits_hint.__qualname__ = f"bits_hint_{nbits}"
+        register_hint(bits_hint)
+        _BITS_CACHE[nbits] = bits_hint
+        fn = bits_hint
+    return fn
+
+
+register_hint(inv_hint)

@@ -94,6 +94,10 @@ class SparseConstraintSystem:
 
     # ------------------------------------------------------------- instructions
     def add_gate(self, gate: Gate, solved_wire: int | None = None, dbg=None) -> int:
+        from .. import profile
+
+        if profile.is_active():
+            profile.record_constraint()
         idx = len(self.gates)
         self.gates.append(gate)
         self.instructions.append(("gate", idx, solved_wire))

@@ -115,6 +115,10 @@ class ConstraintSystem:
     def add_r1c(self, L, R, O, solved_wire: int | None = None, dbg: str | None = None) -> int:
         """Append constraint L*R=O. If solved_wire is given, the solver derives
         that wire from this constraint."""
+        from .. import profile
+
+        if profile.is_active():  # gnark: profile.RecordConstraint, core.go:347
+            profile.record_constraint()
         idx = len(self.constraints)
         self.constraints.append(R1C(list(L), list(R), list(O)))
         iidx = len(self.instructions)

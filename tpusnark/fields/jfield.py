@@ -232,10 +232,12 @@ class Field:
     # --------------------------------------------------------------- mont mul
     def _limb_mul_cols(self, a, b, low_only: bool = False):
         """u32 columns of the limb product a*b, as a (2n, *batch) array
-        (or (n, *batch) if low_only: the product mod R). Columns < 2^21.
+        (or (n, *batch) if low_only: the product mod R). Columns < 2^22.
 
         a, b: (n, *batch) 16-bit limbs. Antidiagonal sums of the 16x16->32
-        outer product via one constant 0/1 f32 matmul (exact; MXU-eligible)."""
+        outer product via one constant 0/1 f32 matmul (exact; MXU-eligible).
+        (An 8-bit-piece bf16 variant was measured SLOWER on v5e — the 4x
+        wider matmul RHS is HBM-bandwidth-bound; see git history.)"""
         import math
 
         n = self.n

@@ -177,10 +177,7 @@ class Builder:
         ca = self.constant_value(a)
         if ca is not None:
             return 1 if ca == 0 else 0
-
-        def inv_hint(p, ins):
-            (x,) = ins
-            return [pow(x, -1, p) if x % p else 0]
+        from ..constraint.hints import inv_hint
 
         (inv_w,) = self.cs.add_hint(inv_hint, [self._lin(a)], 1)
         inv = Var(((COEFF_ONE, inv_w),))
@@ -203,16 +200,18 @@ class Builder:
         # a-b must be invertible
         self.inverse(self.sub(a, b))
 
+    def assert_is_less_or_equal(self, a, b, nbits: int = 64):
+        """a <= b for values known to fit nbits (bounded-difference check:
+        b - a decomposes into nbits bits; gnark AssertIsLessOrEqual)."""
+        self.to_binary(self.sub(b, a), nbits)
+
     # ---------------------------------------------------------------- bits
     def to_binary(self, a, nbits: int):
         """Decompose into nbits boolean wires (LSB first) + recomposition
         constraint. gnark: std/math/bits ToBinary with hint."""
+        from ..constraint.hints import bits_hint_factory
 
-        def bits_hint(p, ins):
-            (x,) = ins
-            return [(x >> i) & 1 for i in range(nbits)]
-
-        outs = self.cs.add_hint(bits_hint, [self._lin(a)], nbits)
+        outs = self.cs.add_hint(bits_hint_factory(nbits), [self._lin(a)], nbits)
         bit_vars = [Var(((COEFF_ONE, w),)) for w in outs]
         acc_terms = []
         for i, bv in enumerate(bit_vars):

@@ -230,10 +230,7 @@ class PlonkBuilder:
         ca = self.constant_value(a)
         if ca is not None:
             return 1 if ca == 0 else 0
-
-        def inv_hint(p, ins):
-            (x,) = ins
-            return [pow(x, -1, p) if x % p else 0]
+        from ..constraint.hints import inv_hint
 
         (inv,) = self.new_hint(inv_hint, 1, a)
         b = self.sub(1, self.mul(a, inv))
@@ -264,13 +261,15 @@ class PlonkBuilder:
     def assert_is_different(self, a, b):
         self.inverse(self.sub(a, b))
 
+    def assert_is_less_or_equal(self, a, b, nbits: int = 64):
+        """a <= b for values known to fit nbits (bounded-difference check)."""
+        self.to_binary(self.sub(b, a), nbits)
+
     # ------------------------------------------------------------------- bits
     def to_binary(self, a, nbits: int):
-        def bits_hint(p, ins):
-            (x,) = ins
-            return [(x >> i) & 1 for i in range(nbits)]
+        from ..constraint.hints import bits_hint_factory
 
-        outs = self.new_hint(bits_hint, nbits, a)
+        outs = self.new_hint(bits_hint_factory(nbits), nbits, a)
         acc = 0
         for i, bv in enumerate(outs):
             self.assert_is_boolean(bv)

@@ -79,12 +79,31 @@ def window_digits(scalars, n_limbs: int, c: int, n_windows: int):
 
 
 class MSM:
-    """MSM engine bound to (CurveOps, scalar Field). Works for G1 and G2."""
+    """MSM engine bound to (CurveOps, scalar Field). Works for G1 and G2.
 
-    def __init__(self, ops: CurveOps, fr: Field, c: int = 13):
+    Two bucket-accumulation strategies:
+      * log-scan (small N): Hillis-Steele segmented scan, O(N log N) adds.
+      * strip (large N): sort by digit, split the sorted array into C
+        contiguous strips, accumulate each strip SEQUENTIALLY with one
+        (C-wide) batched add per row — O(N) adds total — emitting a flush
+        record at each key boundary; at most B + C real records survive,
+        which are compacted by a second integer sort and reduced with the
+        small log-scan. 10-20x fewer point adds than the pure log-scan.
+    """
+
+    def __init__(
+        self,
+        ops: CurveOps,
+        fr: Field,
+        c: int = 13,
+        strips: int = 1 << 13,
+        strip_threshold: int = 1 << 15,
+    ):
         self.ops = ops
         self.fr = fr
         self.c = c
+        self.strips = strips
+        self.strip_threshold = strip_threshold
         self.scalar_bits = fr.spec.modulus.bit_length()
         self.n_windows = -(-self.scalar_bits // c)
         self._msm_j = jax.jit(self._msm_impl)
@@ -100,42 +119,106 @@ class MSM:
         ops, c = self.ops, self.c
         B = 1 << c
         X, Y, inf = points_affine
-        N = inf.shape[-1]
+        N0 = inf.shape[-1]
+
+        # strip layout: C lanes of R sequential rows; pad N to C*R with
+        # identity points (digit 0 -> the ignored bucket)
+        use_strips = N0 >= self.strip_threshold
+        if use_strips:
+            C = min(self.strips, 1 << max(1, (N0 - 1).bit_length() - 3))
+            R = -(-N0 // C)
+            N = C * R
+        else:
+            N = N0
+        if N != N0:
+            pad = N - N0
+            X = tree_map(lambda a: jnp.pad(a, ((0, 0), (0, pad))), X)
+            Y = tree_map(lambda a: jnp.pad(a, ((0, 0), (0, pad))), Y)
+            inf = jnp.pad(inf, (0, pad), constant_values=True)
+            scalars = jnp.pad(scalars, ((0, 0), (0, pad)))
+
         digits = window_digits(scalars, self.fr.n, c, self.n_windows)
         # infinity inputs always land in the (ignored) 0 bucket
         digits = jnp.where(inf[None, :], jnp.uint32(0), digits)
         pts0 = ops.from_affine((X, Y, inf))
 
-        iota_n = jnp.arange(N, dtype=jnp.int32)
         iota_b = jnp.arange(B, dtype=jnp.int32)
-        n_rounds = max((N - 1).bit_length(), 0)
         b_rounds = (B - 1).bit_length()
+        SENT = jnp.uint32(B)  # sorts after every real bucket key
+
+        def log_scan_buckets(skey, pts, m):
+            """Segmented Hillis-Steele scan over m sorted records + scatter
+            of the segment-end sums into the B+1 bucket slots."""
+            iota_m = jnp.arange(m, dtype=jnp.int32)
+            rounds = max((m - 1).bit_length(), 0)
+
+            def seg_round(r, pts):
+                d = jnp.int32(1) << r
+                shifted = tree_map(lambda a: jnp.roll(a, d, axis=-1), pts)
+                kshift = jnp.roll(skey, d)
+                same = (iota_m >= d) & (kshift == skey)
+                return ops.select(same, ops.add(pts, shifted), pts)
+
+            pts = jax.lax.fori_loop(0, rounds, seg_round, pts)
+            is_end = jnp.concatenate([skey[:-1] != skey[1:], jnp.array([True])])
+            sidx = jnp.where(is_end, skey, SENT).astype(jnp.int32)
+            x_templ = tree_map(
+                lambda a: jnp.zeros(a.shape[:-1] + (B + 1,), a.dtype), pts[0]
+            )
+            ident_base = ops.identity_like(x_templ)
+            return tree_map(
+                lambda ini, a: ini.at[..., sidx].set(a)[..., :B], ident_base, pts
+            )
+
+        def strip_buckets(skey, pts):
+            """O(N)-adds accumulation: strips of R sequential rows, one
+            C-wide add per row, flush records at key boundaries, compact by
+            an integer sort, reduce the <= B + C survivors with the
+            log-scan."""
+            keys2 = skey.reshape(C, R)
+            pts2 = tree_map(lambda a: a.reshape(a.shape[:-1] + (C, R)), pts)
+            xs = (
+                jnp.moveaxis(keys2, -1, 0),  # (R, C)
+                tree_map(lambda a: jnp.moveaxis(a, -1, 0), pts2),  # (R, ..., C)
+            )
+            ident_c = ops.identity_like(tree_map(lambda a: a[..., 0], pts2[0]))
+
+            def step(carry, x):
+                acc, acc_key = carry
+                k, pt = x
+                same = k == acc_key
+                new_acc = ops.select(same, ops.add(acc, pt), pt)
+                fkey = jnp.where(same, SENT, acc_key)
+                return (new_acc, k), (fkey, acc)
+
+            (acc, acc_key), (fkeys, fpts) = jax.lax.scan(
+                step, (ident_c, jnp.full((C,), SENT, dtype=skey.dtype)), xs
+            )
+            # append the final per-strip flush
+            fkeys = jnp.concatenate([fkeys, acc_key[None]], axis=0)  # (R+1, C)
+            fpts = tree_map(
+                lambda ys, fin: jnp.concatenate([ys, fin[None]], axis=0), fpts, acc
+            )
+            M = (R + 1) * C
+            fkeys = fkeys.reshape(M)
+            # records back to trailing batch axis: (R+1, ..., C) -> (..., M)
+            fpts = tree_map(
+                lambda a: jnp.moveaxis(a, 0, -2).reshape(a.shape[1:-1] + (M,)), fpts
+            )
+            K = min(M, B + C)
+            ridx = jnp.argsort(fkeys)[:K]
+            skey2 = fkeys[ridx]
+            pts3 = tree_map(lambda a: a[..., ridx], fpts)
+            return log_scan_buckets(skey2, pts3, K)
 
         def per_window(key):
             order = jnp.argsort(key)
             skey = key[order]
             pts = tree_map(lambda a: a[..., order], pts0)
-
-            # segmented inclusive scan (reduce-by-key)
-            def seg_round(r, pts):
-                d = jnp.int32(1) << r
-                shifted = tree_map(lambda a: jnp.roll(a, d, axis=-1), pts)
-                kshift = jnp.roll(skey, d)
-                same = (iota_n >= d) & (kshift == skey)
-                return ops.select(same, ops.add(pts, shifted), pts)
-
-            pts = jax.lax.fori_loop(0, n_rounds, seg_round, pts)
-
-            # scatter segment-end sums into buckets (dummy slot B for non-ends).
-            # base array = identity points (0:1:0): empty buckets must be the
-            # group identity, not all-zeros garbage, for the complete formulas.
-            is_end = jnp.concatenate([skey[:-1] != skey[1:], jnp.array([True])])
-            sidx = jnp.where(is_end, skey, jnp.uint32(B)).astype(jnp.int32)
-            x_templ = tree_map(lambda a: jnp.zeros(a.shape[:-1] + (B + 1,), a.dtype), pts[0])
-            ident_base = ops.identity_like(x_templ)
-            buckets = tree_map(
-                lambda ini, a: ini.at[..., sidx].set(a)[..., :B], ident_base, pts
-            )
+            if use_strips:
+                buckets = strip_buckets(skey, pts)
+            else:
+                buckets = log_scan_buckets(skey, pts, N)
 
             # suffix scan: buckets[b] <- sum_{j>=b} buckets[j]
             def suf_round(r, bk):

@@ -16,6 +16,8 @@ class CircuitNotSatisfiedError(Exception):
 class TestEngine:
     """api-compatible evaluator; `assignment` provides the input values."""
 
+    __test__ = False  # not a pytest class
+
     def __init__(self, modulus: int, assignment: dict):
         self.p = modulus
         self.assignment = assignment
@@ -93,6 +95,11 @@ class TestEngine:
     def assert_is_different(self, a, b):
         if (int(a) - int(b)) % self.p == 0:
             raise CircuitNotSatisfiedError(f"{a} == {b}")
+
+    def assert_is_less_or_equal(self, a, b, nbits: int = 64):
+        d = (int(b) - int(a)) % self.p
+        if d >= (1 << nbits):
+            raise CircuitNotSatisfiedError(f"{a} > {b} (mod-p difference {d})")
 
     # ---- bits ----
     def to_binary(self, a, nbits: int):
