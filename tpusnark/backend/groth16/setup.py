@@ -121,6 +121,16 @@ def _g2_many(scalars: list[int], use_device: bool):
     return g2_from_device_proj(mul(table, sc))
 
 
+def dummy_setup(cs: ConstraintSystem, use_device: bool = True):
+    """ProvingKey with the right shapes but meaningless values — for
+    benchmarking the prover without a trusted setup (reference DummySetup,
+    /root/reference/backend/groth16/bn254/setup.go:482). Proofs made with it
+    do NOT verify."""
+    rng_state = __import__("random").Random(0xD00D)
+    pk, _vk = setup(cs, rng=lambda: rng_state.randrange(1, ref.R), use_device=use_device)
+    return pk
+
+
 def setup(cs: ConstraintSystem, rng=None, use_device: bool = True):
     """(pk, vk) for an R1CS. rng: callable -> int in [1, r) for testing
     determinism; defaults to secrets-based sampling."""

@@ -125,7 +125,10 @@ class MSM:
         # identity points (digit 0 -> the ignored bucket)
         use_strips = N0 >= self.strip_threshold
         if use_strips:
-            C = min(self.strips, 1 << max(1, (N0 - 1).bit_length() - 3))
+            # R >= 64 rows per strip: the compaction log-scan costs
+            # O((B + C) log(B + C)) adds per window, so keep C small relative
+            # to N (N/64) while bounded by self.strips for lane width
+            C = min(self.strips, 1 << max(3, (N0 - 1).bit_length() - 6))
             R = -(-N0 // C)
             N = C * R
         else:
@@ -211,6 +214,54 @@ class MSM:
             pts3 = tree_map(lambda a: a[..., ridx], fpts)
             return log_scan_buckets(skey2, pts3, K)
 
+        def tree_reduce_last(vals, m):
+            """Sum m points along the trailing axis, log-depth, ~m adds."""
+            while m > 1:
+                half = m // 2
+                lo = tree_map(lambda a: a[..., :half], vals)
+                hi = tree_map(lambda a: a[..., half:m], vals)
+                vals = ops.add(lo, hi)
+                m = half
+            return vals
+
+        def small_weighted(vals, m):
+            """sum_b b * vals[b] over a SMALL m: suffix scan (all suffixes)
+            then sum of suffixes 1..m-1."""
+            iota_m = jnp.arange(m, dtype=jnp.int32)
+            rounds = (m - 1).bit_length()
+
+            def suf_round(r, bk):
+                d = jnp.int32(1) << r
+                shifted = tree_map(lambda a: jnp.roll(a, -d, axis=-1), bk)
+                valid = iota_m < m - d
+                return ops.select(valid, ops.add(bk, shifted), bk)
+
+            vals = jax.lax.fori_loop(0, rounds, suf_round, vals)
+            mask = iota_m >= 1
+            ident = ops.identity_like(vals[0])
+            vals = ops.select(mask, vals, ident)
+            return tree_reduce_last(vals, m)
+
+        # weighted bucket sum via radix split b = Bl*hi + lo:
+        #   sum_b b*S_b = Bl * sum_hi hi*rowsum[hi] + sum_lo lo*colsum[lo]
+        # cost ~2B tree adds + two tiny weighted sums, vs 15B for the
+        # full suffix-scan formulation (bucket 0 drops out by weight).
+        Bl = 1 << (c // 2)
+        Bh = B // Bl
+
+        def weighted_buckets(buckets):
+            S = tree_map(lambda a: a.reshape(a.shape[:-1] + (Bh, Bl)), buckets)
+            rows = tree_reduce_last(S, Bl)  # (..., Bh, 1)
+            rows = tree_map(lambda a: a[..., 0], rows)  # (..., Bh)
+            cols = tree_map(lambda a: jnp.moveaxis(a, -1, -2), S)  # (..., Bl, Bh)
+            cols = tree_reduce_last(cols, Bh)
+            cols = tree_map(lambda a: a[..., 0], cols)  # (..., Bl)
+            w_hi = small_weighted(rows, Bh)  # (..., 1)
+            w_lo = small_weighted(cols, Bl)
+            for _ in range(Bl.bit_length() - 1):  # w_hi *= Bl
+                w_hi = ops.double(w_hi)
+            return ops.add(w_hi, w_lo)
+
         def per_window(key):
             order = jnp.argsort(key)
             skey = key[order]
@@ -219,29 +270,7 @@ class MSM:
                 buckets = strip_buckets(skey, pts)
             else:
                 buckets = log_scan_buckets(skey, pts, N)
-
-            # suffix scan: buckets[b] <- sum_{j>=b} buckets[j]
-            def suf_round(r, bk):
-                d = jnp.int32(1) << r
-                shifted = tree_map(lambda a: jnp.roll(a, -d, axis=-1), bk)
-                valid = iota_b < B - d
-                return ops.select(valid, ops.add(bk, shifted), bk)
-
-            buckets = jax.lax.fori_loop(0, b_rounds, suf_round, buckets)
-
-            # weighted sum = sum_{b>=1} suffix[b]: mask b=0, prefix scan, take last
-            mask = iota_b >= 1
-            ident = ops.identity_like(tree_map(lambda a: a, buckets[0]))
-            vals = ops.select(mask, buckets, ident)
-
-            def pre_round(r, bk):
-                d = jnp.int32(1) << r
-                shifted = tree_map(lambda a: jnp.roll(a, d, axis=-1), bk)
-                valid = iota_b >= d
-                return ops.select(valid, ops.add(bk, shifted), bk)
-
-            vals = jax.lax.fori_loop(0, b_rounds, pre_round, vals)
-            return tree_map(lambda a: a[..., B - 1 : B], vals)  # batch-1 point
+            return weighted_buckets(buckets)  # batch-1 point
 
         wsums = jax.lax.map(per_window, digits)  # leading axis = window
 
