@@ -22,6 +22,11 @@ class VerifyingKey:
     gamma_g2: tuple
     delta_g2: tuple
     k: list  # G1 points, one per public wire (index 0 = the constant wire)
+    # gnark carries G1.Beta/Delta on the VK purely for wire compatibility
+    # ("unused, here for compatibility purposes", setup.go:66, = pk.G1.Beta/
+    # Delta at setup.go:326-327); we store them so vk bytes match gnark's.
+    beta_g1: tuple | None = None
+    delta_g1: tuple | None = None
 
     @property
     def n_public(self) -> int:

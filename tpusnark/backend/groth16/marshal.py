@@ -53,13 +53,10 @@ def proof_from_bytes(data: bytes) -> Proof:
 def vk_to_bytes(vk: VerifyingKey, raw: bool = False) -> bytes:
     eg1 = g1_raw if raw else g1_compress
     eg2 = g2_raw if raw else g2_compress
-    # gnark serializes G1.Beta / G1.Delta too (negated in-memory; we store
-    # the plain values - the encodings round-trip within this framework and
-    # follow the same section order)
-    beta_g1 = getattr(vk, "beta_g1", None)
-    delta_g1 = getattr(vk, "delta_g1", None)
-    out = eg1(vk.alpha_g1) + eg1(beta_g1) + eg2(vk.beta_g2)
-    out += eg2(vk.gamma_g2) + eg1(delta_g1) + eg2(vk.delta_g2)
+    # gnark serializes vk.G1.Beta / vk.G1.Delta (= pk's values, carried for
+    # compatibility, setup.go:326-327) between the G2 sections
+    out = eg1(vk.alpha_g1) + eg1(vk.beta_g1) + eg2(vk.beta_g2)
+    out += eg2(vk.gamma_g2) + eg1(vk.delta_g1) + eg2(vk.delta_g2)
     out += struct.pack(">I", len(vk.k))
     for pt in vk.k:
         out += eg1(pt)
@@ -71,13 +68,13 @@ def vk_from_bytes(data: bytes) -> VerifyingKey:
     off = 0
     alpha, n = g1_decode(data[off:])
     off += n
-    _beta_g1, n = g1_decode(data[off:])
+    beta_g1, n = g1_decode(data[off:])
     off += n
     beta_g2, n = g2_decode(data[off:])
     off += n
     gamma_g2, n = g2_decode(data[off:])
     off += n
-    _delta_g1, n = g1_decode(data[off:])
+    delta_g1, n = g1_decode(data[off:])
     off += n
     delta_g2, n = g2_decode(data[off:])
     off += n
@@ -89,5 +86,11 @@ def vk_from_bytes(data: bytes) -> VerifyingKey:
         off += n
         k.append(pt)
     return VerifyingKey(
-        alpha_g1=alpha, beta_g2=beta_g2, gamma_g2=gamma_g2, delta_g2=delta_g2, k=k
+        alpha_g1=alpha,
+        beta_g2=beta_g2,
+        gamma_g2=gamma_g2,
+        delta_g2=delta_g2,
+        k=k,
+        beta_g1=beta_g1,
+        delta_g1=delta_g1,
     )

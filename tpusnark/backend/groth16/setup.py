@@ -205,5 +205,7 @@ def setup(cs: ConstraintSystem, rng=None, use_device: bool = True):
         gamma_g2=gamma_g2,
         delta_g2=delta_g2,
         k=k_vk,
+        beta_g1=beta_g1,
+        delta_g1=delta_g1,
     )
     return pk, vk

@@ -9,6 +9,10 @@ the quotient polynomial H (four-step NTTs with all_to_all transposes), and
 the 4+1 MSMs (points sharded, partials all_gathered) — compiles into a
 single XLA program per mesh. Host work is only witness solving (python ints)
 and the final handful of proof point additions.
+
+All G1 point tables are padded to ONE common length `m` so the four G1 MSMs
+share a single compiled program (the identity-point padding lands in the
+ignored 0 bucket regardless of the scalar, so any scalar tail is safe).
 """
 
 from __future__ import annotations
@@ -36,7 +40,7 @@ class ShardedProverCore:
 
     __call__(w_mont, w_norm) -> (ar, bs1, bs2, krs_k, krs_z) raw projective
     device points (replicated), where w_mont/w_norm are the solved wire
-    vector in Montgomery / normal limb form, padded to self.nw_pad wires.
+    vector in Montgomery / normal limb form; w_norm padded to self.m wires.
     """
 
     def __init__(self, cs: ConstraintSystem, pk: ProvingKey, mesh, axis: str = "data"):
@@ -49,22 +53,25 @@ class ShardedProverCore:
         n_dev = mesh.shape[axis]
         n = pk.domain_n
         self.n = n
-        self.nw_pad = -(-cs.n_wires // n_dev) * n_dev
-        self.np_pad = -(-(cs.n_wires - cs.n_public) // n_dev) * n_dev
         assert n % n_dev == 0, "domain smaller than mesh"
+        # ONE padded length for every MSM: all G1 tables share one compiled
+        # program; identity padding is sound for any scalar tail.
+        self.m = -(-max(cs.n_wires, n) // n_dev) * n_dev
 
         self._ev = ABCEvaluator(cs, _fr)
         self._ntt = ShardedNTT(BN254_FR, n, mesh, axis)
-        n_local = max(self.nw_pad, n) // n_dev
+        n_local = self.m // n_dev
         self._msm1 = ShardedMSM(get_msm_for("g1", n_local), mesh, axis)
         self._msm2 = ShardedMSM(get_msm_for("g2", n_local), mesh, axis)
 
+        # tables materialized ONCE in their mesh-sharded HBM layout (the
+        # TPU analog of icicle's setupDevicePointers, icicle.go:31-130)
         self._pts = {
-            "a": g1_to_device(_pad_pts(pk.a, self.nw_pad)),
-            "b1": g1_to_device(_pad_pts(pk.b1, self.nw_pad)),
-            "b2": g2_to_device(_pad_pts(pk.b2, self.nw_pad)),
-            "k": g1_to_device(_pad_pts(pk.k, self.np_pad)),
-            "z": g1_to_device(_pad_pts(pk.z, n)),  # n-1 real + identity pad
+            "a": self._msm1.shard_points(g1_to_device(_pad_pts(pk.a, self.m))),
+            "b1": self._msm1.shard_points(g1_to_device(_pad_pts(pk.b1, self.m))),
+            "b2": self._msm2.shard_points(g2_to_device(_pad_pts(pk.b2, self.m))),
+            "k": self._msm1.shard_points(g1_to_device(_pad_pts(pk.k, self.m))),
+            "z": self._msm1.shard_points(g1_to_device(_pad_pts(pk.z, self.m))),
         }
         p = _fr.spec.modulus
         shift = self._ntt.domain.coset_shift
@@ -99,18 +106,44 @@ class ShardedProverCore:
 
     # ------------------------------------------------------------------ core
     def __call__(self, w_mont, w_norm):
-        """w_mont: (L, n_wires) Montgomery; w_norm: (L, nw_pad) normal form
+        """w_mont: (L, n_wires) Montgomery; w_norm: (L, m) normal form
         (zero-padded). Returns 5 raw projective points."""
         A, B, C = self._ev(w_mont)
         h = self.compute_h(A, B, C)
-        priv = w_norm[:, self.cs.n_public :]
-        priv = jnp.pad(priv, ((0, 0), (0, self.np_pad - priv.shape[1])))
+        h = jnp.pad(h, ((0, 0), (0, self.m - h.shape[1])))
+        # private-wire scalars shifted to the front (k table layout); the
+        # tail beyond the real private wires pairs with identity padding
+        priv = jnp.pad(
+            w_norm[:, self.cs.n_public :], ((0, 0), (0, self.cs.n_public))
+        )
         ar = self._msm1(self._pts["a"], w_norm)
         bs1 = self._msm1(self._pts["b1"], w_norm)
         bs2 = self._msm2(self._pts["b2"], w_norm)
         krs_k = self._msm1(self._pts["k"], priv)
         krs_z = self._msm1(self._pts["z"], h)
         return ar, bs1, bs2, krs_k, krs_z
+
+    # ------------------------------------------------------------------ warmup
+    def warmup(self):
+        """Compile the (independent) sharded programs CONCURRENTLY: the G2
+        MSM is the long pole of XLA:CPU compilation, so overlapping it with
+        the G1 MSM and the two NTT programs cuts dryrun wall-clock ~2-3x.
+        XLA compilation releases the GIL, so plain threads suffice."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        L = _fr.n
+        x = jnp.zeros((L, self.n), dtype=jnp.uint32)
+        w = jnp.zeros((L, self.m), dtype=jnp.uint32)
+
+        jobs = [
+            lambda: self._ntt.ntt(x),
+            lambda: self._ntt.intt(x),
+            lambda: self._msm1(self._pts["a"], w),
+            lambda: self._msm2(self._pts["b2"], w),
+        ]
+        with ThreadPoolExecutor(len(jobs)) as ex:
+            for r in list(ex.map(lambda f: f(), jobs)):
+                pass
 
 
 def prove_sharded(cs: ConstraintSystem, pk: ProvingKey, assignment: dict, mesh,
@@ -132,7 +165,7 @@ def prove_sharded(cs: ConstraintSystem, pk: ProvingKey, assignment: dict, mesh,
     core = _core_cache(cs, pk, mesh, axis)
     W = solve(cs, assignment)
     w_mont = jnp.asarray(_fr.spec.encode(W, mont=True).T.copy())
-    w_pad = W + [0] * (core.nw_pad - len(W))
+    w_pad = W + [0] * (core.m - len(W))
     w_norm = jnp.asarray(_fr.spec.encode(w_pad, mont=False).T.copy())
 
     ar_raw, bs1_raw, bs2_raw, krs_k_raw, krs_z_raw = core(w_mont, w_norm)

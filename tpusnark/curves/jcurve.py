@@ -43,6 +43,32 @@ class FpArith:
     def neg(self, a):
         return self.f.neg(a)
 
+    # ---- stacked ops: k independent field ops as ONE batched op. The limb
+    # code is shape-polymorphic, so stacking on a new axis right after the
+    # limb axis turns k muls into one mul with a k-times-wider batch: ~k
+    # times fewer XLA ops in the graph (compile time) and k-times-larger
+    # kernels at runtime (the MSM scan steps are launch-latency-bound).
+    def stack(self, xs):
+        return jnp.stack(jnp.broadcast_arrays(*xs), axis=1)
+
+    def unstack(self, x, k: int):
+        return [x[:, i] for i in range(k)]
+
+    def mul_many(self, pairs):
+        A = self.stack([a for a, _ in pairs])
+        B = self.stack([b for _, b in pairs])
+        return self.unstack(self.f.mul(A, B), len(pairs))
+
+    def add_many(self, pairs):
+        A = self.stack([a for a, _ in pairs])
+        B = self.stack([b for _, b in pairs])
+        return self.unstack(self.f.add(A, B), len(pairs))
+
+    def sub_many(self, pairs):
+        A = self.stack([a for a, _ in pairs])
+        B = self.stack([b for _, b in pairs])
+        return self.unstack(self.f.sub(A, B), len(pairs))
+
     def mul_b3(self, x):
         # 3b = 9 for bn254 G1: 9x = 8x + x (3 doublings + add beats a mont mul)
         if self.b3 == 9:
@@ -51,6 +77,9 @@ class FpArith:
             x8 = self.f.add(x4, x4)
             return self.f.add(x8, x)
         return self.f.mul_const(x, self.b3)
+
+    def mul_b3_many(self, xs):
+        return self.unstack(self.mul_b3(self.stack(xs)), len(xs))
 
     def select(self, cond, a, b):
         return jnp.where(cond, a, b)
@@ -82,18 +111,63 @@ class Fp2Arith:
         return (self.f.neg(a[0]), self.f.neg(a[1]))
 
     def mul(self, a, b):
-        # Karatsuba: 3 Fp muls
+        return self.mul_many([(a, b)])[0]
+
+    # ---- stacked ops over Fp2 (see FpArith.mul_many): k fp2 Karatsuba muls
+    # become ONE fp mul with a 3k-wide stack axis.
+    def stack(self, xs):
+        return (
+            jnp.stack(jnp.broadcast_arrays(*[x[0] for x in xs]), axis=1),
+            jnp.stack(jnp.broadcast_arrays(*[x[1] for x in xs]), axis=1),
+        )
+
+    def unstack(self, x, k: int):
+        return [(x[0][:, i], x[1][:, i]) for i in range(k)]
+
+    def mul_many(self, pairs):
         f = self.f
-        t0 = f.mul(a[0], b[0])
-        t1 = f.mul(a[1], b[1])
-        t2 = f.mul(f.add(a[0], a[1]), f.add(b[0], b[1]))
-        return (f.sub(t0, t1), f.sub(t2, f.add(t0, t1)))
+        k = len(pairs)
+        a0, a1 = self.stack([a for a, _ in pairs])
+        b0, b1 = self.stack([b for _, b in pairs])
+        asum = f.add(a0, a1)
+        bsum = f.add(b0, b1)
+        A = jnp.concatenate([a0, a1, asum], axis=1)
+        B = jnp.concatenate([b0, b1, bsum], axis=1)
+        T = f.mul(A, B)  # (L, 3k, *batch)
+        t0, t1, t2 = T[:, :k], T[:, k : 2 * k], T[:, 2 * k :]
+        c0 = f.sub(t0, t1)
+        c1 = f.sub(t2, f.add(t0, t1))
+        return [(c0[:, i], c1[:, i]) for i in range(k)]
+
+    def add_many(self, pairs):
+        f = self.f
+        a0, a1 = self.stack([a for a, _ in pairs])
+        b0, b1 = self.stack([b for _, b in pairs])
+        return self.unstack((f.add(a0, b0), f.add(a1, b1)), len(pairs))
+
+    def sub_many(self, pairs):
+        f = self.f
+        a0, a1 = self.stack([a for a, _ in pairs])
+        b0, b1 = self.stack([b for _, b in pairs])
+        return self.unstack((f.sub(a0, b0), f.sub(a1, b1)), len(pairs))
 
     def mul_b3(self, x):
         f = self.f
         c0 = f.broadcast_const(f.const(self._b3[0], mont=True), x[0])
         c1 = f.broadcast_const(f.const(self._b3[1], mont=True), x[1])
         return self.mul(x, (c0, c1))
+
+    def mul_b3_many(self, xs):
+        f = self.f
+        b3 = (
+            f.const(self._b3[0], mont=True),
+            f.const(self._b3[1], mont=True),
+        )
+        consts = [
+            (f.broadcast_const(b3[0], x[0]), f.broadcast_const(b3[1], x[1]))
+            for x in xs
+        ]
+        return self.mul_many(list(zip(xs, consts)))
 
     def select(self, cond, a, b):
         return (jnp.where(cond, a[0], b[0]), jnp.where(cond, a[1], b[1]))
@@ -125,34 +199,30 @@ class CurveOps:
         return self.fa.is_zero(p[2])
 
     # ---- complete addition (RCB15 algorithm 7, a=0) -------------------------
+    # Structured as two STACKED mul rounds (6 muls each) + stacked add/sub
+    # chains: ~4x fewer XLA ops than 12 separate muls, and each mul kernel is
+    # 6x wider (the MSM scan is kernel-launch-latency-bound).
     def add(self, p, q):
         fa = self.fa
         X1, Y1, Z1 = p
         X2, Y2, Z2 = q
-        t0 = fa.mul(X1, X2)
-        t1 = fa.mul(Y1, Y2)
-        t2 = fa.mul(Z1, Z2)
-        t3 = fa.mul(fa.add(X1, Y1), fa.add(X2, Y2))
-        t3 = fa.sub(t3, fa.add(t0, t1))
-        t4 = fa.mul(fa.add(Y1, Z1), fa.add(Y2, Z2))
-        t4 = fa.sub(t4, fa.add(t1, t2))
-        x3 = fa.mul(fa.add(X1, Z1), fa.add(X2, Z2))
-        y3 = fa.sub(x3, fa.add(t0, t2))
+        s1 = fa.add_many([(X1, Y1), (Y1, Z1), (X1, Z1)])
+        s2 = fa.add_many([(X2, Y2), (Y2, Z2), (X2, Z2)])
+        t0, t1, t2, m3, m4, m5 = fa.mul_many(
+            [(X1, X2), (Y1, Y2), (Z1, Z2), (s1[0], s2[0]), (s1[1], s2[1]), (s1[2], s2[2])]
+        )
+        t01, t12, t02 = fa.add_many([(t0, t1), (t1, t2), (t0, t2)])
+        t3, t4, y3p = fa.sub_many([(m3, t01), (m4, t12), (m5, t02)])
         x3 = fa.add(t0, t0)
-        t0 = fa.add(x3, t0)
-        t2 = fa.mul_b3(t2)
-        z3 = fa.add(t1, t2)
-        t1 = fa.sub(t1, t2)
-        y3 = fa.mul_b3(y3)
-        x3 = fa.mul(t4, y3)
-        t2 = fa.mul(t3, t1)
-        x3 = fa.sub(t2, x3)
-        y3 = fa.mul(y3, t0)
-        t1 = fa.mul(t1, z3)
-        y3 = fa.add(t1, y3)
-        t0 = fa.mul(t0, t3)
-        z3 = fa.mul(z3, t4)
-        z3 = fa.add(z3, t0)
+        t0n = fa.add(x3, t0)  # 3*t0
+        t2b, y3b = fa.mul_b3_many([t2, y3p])
+        z3 = fa.add(t1, t2b)
+        t1n = fa.sub(t1, t2b)
+        r = fa.mul_many(
+            [(t4, y3b), (t3, t1n), (y3b, t0n), (t1n, z3), (t0n, t3), (z3, t4)]
+        )
+        x3 = fa.sub(r[1], r[0])
+        y3, z3 = fa.add_many([(r[3], r[2]), (r[5], r[4])])
         return (x3, y3, z3)
 
     # ---- complete mixed addition (RCB15 algorithm 8, a=0, Z2=1) -------------
@@ -164,28 +234,23 @@ class CurveOps:
             X2, Y2, inf = q_affine
         else:
             (X2, Y2), inf = q_affine, None
-        t0 = fa.mul(X1, X2)
-        t1 = fa.mul(Y1, Y2)
-        t3 = fa.mul(fa.add(X1, Y1), fa.add(X2, Y2))
-        t3 = fa.sub(t3, fa.add(t0, t1))
-        t4 = fa.add(fa.mul(X2, Z1), X1)
-        t5 = fa.add(fa.mul(Y2, Z1), Y1)
-        z3 = fa.mul_b3(Z1)
+        sx1, sx2 = fa.add_many([(X1, Y1), (X2, Y2)])
+        t0, t1, m3, mt4, mt5 = fa.mul_many(
+            [(X1, X2), (Y1, Y2), (sx1, sx2), (X2, Z1), (Y2, Z1)]
+        )
+        t01 = fa.add(t0, t1)
+        t3 = fa.sub(m3, t01)
+        t4, t5 = fa.add_many([(mt4, X1), (mt5, Y1)])
+        z3b, y3b = fa.mul_b3_many([Z1, t4])
         x3 = fa.add(t0, t0)
-        t0 = fa.add(x3, t0)
-        z3_ = z3
-        z3 = fa.add(t1, z3_)
-        t1 = fa.sub(t1, z3_)
-        y3 = fa.mul_b3(t4)
-        x3 = fa.mul(t5, y3)
-        t2 = fa.mul(t3, t1)
-        x3 = fa.sub(t2, x3)
-        y3 = fa.mul(y3, t0)
-        t1 = fa.mul(t1, z3)
-        y3 = fa.add(t1, y3)
-        t0 = fa.mul(t0, t3)
-        z3 = fa.mul(z3, t5)
-        z3 = fa.add(z3, t0)
+        t0n = fa.add(x3, t0)  # 3*t0
+        z3 = fa.add(t1, z3b)
+        t1n = fa.sub(t1, z3b)
+        r = fa.mul_many(
+            [(t5, y3b), (t3, t1n), (y3b, t0n), (t1n, z3), (t0n, t3), (z3, t5)]
+        )
+        x3 = fa.sub(r[1], r[0])
+        y3, z3 = fa.add_many([(r[3], r[2]), (r[5], r[4])])
         out = (x3, y3, z3)
         if inf is not None:
             out = tuple(fa.select(inf, a, b) for a, b in zip(p, out))

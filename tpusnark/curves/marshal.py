@@ -15,7 +15,17 @@ proof/key WriteTo at /root/reference/backend/groth16/bn254/marshal.go):
 
 from __future__ import annotations
 
-from .ref import P, Fp2, G1, G2
+from .ref import P, R, Fp2, G1, G2
+
+
+def _g2_subgroup_check(pt) -> bool:
+    """r-torsion membership. BN254 G2 has a large cofactor, so an on-curve
+    point from untrusted bytes may live outside the subgroup and break the
+    pairing soundness assumptions — gnark-crypto's SetBytes subgroup-checks
+    by default and skips it only for trusted key material (io.UnsafeReaderFrom,
+    /root/reference/io/io.go:35-40). Host-side decode, so the plain [r]P == O
+    check is fine (~1ms)."""
+    return G2.mul(pt, R) is None
 
 M_MASK = 0b11 << 6
 M_UNCOMPRESSED = 0b00 << 6
@@ -152,6 +162,8 @@ def g2_decode(data: bytes, check: bool = True):
         pt = (x, y)
         if check and not G2.on_curve(pt):
             raise ValueError("G2 point not on curve")
+        if check and not _g2_subgroup_check(pt):
+            raise ValueError("G2 point not in the r-torsion subgroup")
         return pt, 128
     if flag == M_COMPRESSED_INFINITY:
         return None, 64
@@ -164,4 +176,7 @@ def g2_decode(data: bytes, check: bool = True):
         raise ValueError("invalid G2 x-coordinate")
     if _lex_largest_fp2(y) != (flag == M_COMPRESSED_LARGEST):
         y = Fp2((-y.c0) % P, (-y.c1) % P)
-    return (x, y), 64
+    pt = (x, y)
+    if check and not _g2_subgroup_check(pt):
+        raise ValueError("G2 point not in the r-torsion subgroup")
+    return pt, 64

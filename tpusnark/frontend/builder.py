@@ -201,8 +201,15 @@ class Builder:
         self.inverse(self.sub(a, b))
 
     def assert_is_less_or_equal(self, a, b, nbits: int = 64):
-        """a <= b for values known to fit nbits (bounded-difference check:
-        b - a decomposes into nbits bits; gnark AssertIsLessOrEqual)."""
+        """a <= b, sound for UNCONSTRAINED operands: both a and b are
+        range-constrained to nbits bits (like gnark's mustBeLessOrEqVar,
+        frontend/cs/r1cs/api_assertions.go, which decomposes both sides),
+        then b - a must also fit nbits bits. With a, b < 2^nbits <= 2^252 < p/2
+        the mod-p difference of a > b lands in (p - 2^nbits, p), which cannot
+        decompose into nbits bits, so negative transfers are rejected."""
+        assert nbits <= self.p.bit_length() - 2
+        self.to_binary(a, nbits)
+        self.to_binary(b, nbits)
         self.to_binary(self.sub(b, a), nbits)
 
     # ---------------------------------------------------------------- bits

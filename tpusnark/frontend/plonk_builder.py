@@ -262,7 +262,12 @@ class PlonkBuilder:
         self.inverse(self.sub(a, b))
 
     def assert_is_less_or_equal(self, a, b, nbits: int = 64):
-        """a <= b for values known to fit nbits (bounded-difference check)."""
+        """a <= b, sound for UNCONSTRAINED operands: range-constrains a, b,
+        and b - a to nbits bits (see builder.py for the soundness argument;
+        mirrors gnark's mustBeLessOrEqVar)."""
+        assert nbits <= self.p.bit_length() - 2
+        self.to_binary(a, nbits)
+        self.to_binary(b, nbits)
         self.to_binary(self.sub(b, a), nbits)
 
     # ------------------------------------------------------------------- bits

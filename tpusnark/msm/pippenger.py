@@ -9,18 +9,25 @@ Design (per SURVEY.md §7 step 3): scatter-contention-free bucket
 accumulation via sort-by-digit + segmented reduction:
 
   1. window digits extracted on device from scalar limbs (c-bit windows)
-  2. per window (lax.map so the graph compiles once, windows run serially —
-     bounding peak memory): stable sort by digit, gather points into sorted
-     order, then a Hillis-Steele inclusive *segmented* scan (log2 N rounds of
-     batched complete adds) whose segment-end elements are the bucket sums
-  3. bucket weighting sum_b b*S_b = sum of suffix sums: one suffix scan over
-     the bucket axis + one prefix scan (each log2 B rounds, roll-based)
-  4. window combine: Horner over windows (c doublings per window, lax.scan)
+  2. windows processed in BATCHES (lax.map batch_size): inside a batch every
+     per-window phase is vmapped, so the sorts/gathers/scan steps of several
+     windows share kernels. The MSM is kernel-launch-latency-bound, not
+     FLOP-bound, so batching windows is the single biggest throughput lever.
+  3. per window: stable sort by digit, gather AFFINE points into sorted
+     order, then either
+       * log-scan (small N): Hillis-Steele segmented scan, O(N log N) adds; or
+       * strip accumulation (large N): split the sorted array into C
+         contiguous strips of R rows; accumulate each strip SEQUENTIALLY with
+         one C-wide batched complete MIXED add per row — O(N) adds total —
+         emitting a flush record at each key boundary; at most B + C real
+         records survive, compacted by an integer argsort and reduced with
+         the small log-scan.
+  4. bucket weighting sum_b b*S_b via radix split (two small weighted sums)
+  5. window combine: Horner over windows (c doublings per window, lax.scan)
 
 Complete (branch-free) point formulas make every add valid regardless of
 lane contents; garbage lanes are masked by selects. All phases jit into one
-program; points stay device-resident. Cost is O(N log N) complete adds — the
-O(N) chunked-scan accumulation kernel is the planned upgrade.
+program; points stay device-resident.
 """
 
 from __future__ import annotations
@@ -79,17 +86,7 @@ def window_digits(scalars, n_limbs: int, c: int, n_windows: int):
 
 
 class MSM:
-    """MSM engine bound to (CurveOps, scalar Field). Works for G1 and G2.
-
-    Two bucket-accumulation strategies:
-      * log-scan (small N): Hillis-Steele segmented scan, O(N log N) adds.
-      * strip (large N): sort by digit, split the sorted array into C
-        contiguous strips, accumulate each strip SEQUENTIALLY with one
-        (C-wide) batched add per row — O(N) adds total — emitting a flush
-        record at each key boundary; at most B + C real records survive,
-        which are compacted by a second integer sort and reduced with the
-        small log-scan. 10-20x fewer point adds than the pure log-scan.
-    """
+    """MSM engine bound to (CurveOps, scalar Field). Works for G1 and G2."""
 
     def __init__(
         self,
@@ -98,12 +95,14 @@ class MSM:
         c: int = 13,
         strips: int = 1 << 13,
         strip_threshold: int = 1 << 15,
+        window_batch: int = 5,
     ):
         self.ops = ops
         self.fr = fr
         self.c = c
         self.strips = strips
         self.strip_threshold = strip_threshold
+        self.window_batch = window_batch
         self.scalar_bits = fr.spec.modulus.bit_length()
         self.n_windows = -(-self.scalar_bits // c)
         self._msm_j = jax.jit(self._msm_impl)
@@ -143,11 +142,30 @@ class MSM:
         digits = window_digits(scalars, self.fr.n, c, self.n_windows)
         # infinity inputs always land in the (ignored) 0 bucket
         digits = jnp.where(inf[None, :], jnp.uint32(0), digits)
-        pts0 = ops.from_affine((X, Y, inf))
+        aff0 = (X, Y, inf)
 
         iota_b = jnp.arange(B, dtype=jnp.int32)
-        b_rounds = (B - 1).bit_length()
         SENT = jnp.uint32(B)  # sorts after every real bucket key
+
+        def fold_sum(vals, m: int):
+            """Sum m points along the trailing axis: shape-preserving
+            log2(m)-round fold (ONE add in the graph, via fori_loop). Result
+            in slot [..., 0:1]."""
+            if m == 1:
+                return vals
+            rounds = (m - 1).bit_length()
+            iota_m = jnp.arange(m, dtype=jnp.int32)
+
+            def body(r, st):
+                vals, width = st
+                half = (width + 1) // 2
+                shifted = tree_map(lambda a: jnp.roll(a, -half, axis=-1), vals)
+                valid = (iota_m + half) < width
+                vals = ops.select(valid, ops.add(vals, shifted), vals)
+                return (vals, half)
+
+            vals, _ = jax.lax.fori_loop(0, rounds, body, (vals, jnp.int32(m)))
+            return tree_map(lambda a: a[..., :1], vals)
 
         def log_scan_buckets(skey, pts, m):
             """Segmented Hillis-Steele scan over m sorted records + scatter
@@ -173,24 +191,27 @@ class MSM:
                 lambda ini, a: ini.at[..., sidx].set(a)[..., :B], ident_base, pts
             )
 
-        def strip_buckets(skey, pts):
+        def strip_buckets(skey, aff):
             """O(N)-adds accumulation: strips of R sequential rows, one
-            C-wide add per row, flush records at key boundaries, compact by
-            an integer sort, reduce the <= B + C survivors with the
-            log-scan."""
+            C-wide mixed add per row, flush records at key boundaries,
+            compact by an integer sort, reduce the <= B + C survivors with
+            the log-scan. `aff` is the gathered AFFINE (X, Y, inf) triple —
+            mixed adds save a coordinate gather and a field mul per add."""
             keys2 = skey.reshape(C, R)
-            pts2 = tree_map(lambda a: a.reshape(a.shape[:-1] + (C, R)), pts)
+            aff2 = tree_map(lambda a: a.reshape(a.shape[:-1] + (C, R)), aff)
             xs = (
                 jnp.moveaxis(keys2, -1, 0),  # (R, C)
-                tree_map(lambda a: jnp.moveaxis(a, -1, 0), pts2),  # (R, ..., C)
+                tree_map(lambda a: jnp.moveaxis(a, -1, 0), aff2),  # (R, ..., C)
             )
-            ident_c = ops.identity_like(tree_map(lambda a: a[..., 0], pts2[0]))
+            ident_c = ops.identity_like(tree_map(lambda a: a[..., 0], aff2[0]))
 
             def step(carry, x):
                 acc, acc_key = carry
                 k, pt = x
                 same = k == acc_key
-                new_acc = ops.select(same, ops.add(acc, pt), pt)
+                new_acc = ops.select(
+                    same, ops.add_mixed(acc, pt), ops.from_affine(pt)
+                )
                 fkey = jnp.where(same, SENT, acc_key)
                 return (new_acc, k), (fkey, acc)
 
@@ -214,16 +235,6 @@ class MSM:
             pts3 = tree_map(lambda a: a[..., ridx], fpts)
             return log_scan_buckets(skey2, pts3, K)
 
-        def tree_reduce_last(vals, m):
-            """Sum m points along the trailing axis, log-depth, ~m adds."""
-            while m > 1:
-                half = m // 2
-                lo = tree_map(lambda a: a[..., :half], vals)
-                hi = tree_map(lambda a: a[..., half:m], vals)
-                vals = ops.add(lo, hi)
-                m = half
-            return vals
-
         def small_weighted(vals, m):
             """sum_b b * vals[b] over a SMALL m: suffix scan (all suffixes)
             then sum of suffixes 1..m-1."""
@@ -240,7 +251,7 @@ class MSM:
             mask = iota_m >= 1
             ident = ops.identity_like(vals[0])
             vals = ops.select(mask, vals, ident)
-            return tree_reduce_last(vals, m)
+            return fold_sum(vals, m)
 
         # weighted bucket sum via radix split b = Bl*hi + lo:
         #   sum_b b*S_b = Bl * sum_hi hi*rowsum[hi] + sum_lo lo*colsum[lo]
@@ -251,28 +262,40 @@ class MSM:
 
         def weighted_buckets(buckets):
             S = tree_map(lambda a: a.reshape(a.shape[:-1] + (Bh, Bl)), buckets)
-            rows = tree_reduce_last(S, Bl)  # (..., Bh, 1)
+            rows = fold_sum(S, Bl)  # (..., Bh, 1)
             rows = tree_map(lambda a: a[..., 0], rows)  # (..., Bh)
             cols = tree_map(lambda a: jnp.moveaxis(a, -1, -2), S)  # (..., Bl, Bh)
-            cols = tree_reduce_last(cols, Bh)
+            cols = fold_sum(cols, Bh)
             cols = tree_map(lambda a: a[..., 0], cols)  # (..., Bl)
             w_hi = small_weighted(rows, Bh)  # (..., 1)
             w_lo = small_weighted(cols, Bl)
-            for _ in range(Bl.bit_length() - 1):  # w_hi *= Bl
-                w_hi = ops.double(w_hi)
+            # w_hi *= Bl (log2(Bl) doublings, one double in the graph)
+            w_hi = jax.lax.fori_loop(
+                0, Bl.bit_length() - 1, lambda i, a: ops.double(a), w_hi
+            )
             return ops.add(w_hi, w_lo)
 
         def per_window(key):
             order = jnp.argsort(key)
             skey = key[order]
-            pts = tree_map(lambda a: a[..., order], pts0)
             if use_strips:
-                buckets = strip_buckets(skey, pts)
+                aff = tree_map(lambda a: a[..., order], aff0)
+                buckets = strip_buckets(skey, aff)
             else:
+                pts = tree_map(lambda a: a[..., order], ops.from_affine(aff0))
                 buckets = log_scan_buckets(skey, pts, N)
             return weighted_buckets(buckets)  # batch-1 point
 
-        wsums = jax.lax.map(per_window, digits)  # leading axis = window
+        # windows in vmapped batches: the whole per-window pipeline is
+        # latency-bound, so sharing kernels across window_batch windows is
+        # a near-linear speedup until HBM fills up. Pick the largest batch
+        # <= window_batch that DIVIDES n_windows (a remainder chunk would
+        # compile a second program).
+        wb = 1
+        for d in range(1, min(self.window_batch, self.n_windows) + 1):
+            if self.n_windows % d == 0:
+                wb = d
+        wsums = jax.lax.map(per_window, digits, batch_size=wb)
 
         # Horner from the top window down: acc = 2^c * acc + wsum[w]
         acc0 = tree_map(lambda a: a[self.n_windows - 1], wsums)

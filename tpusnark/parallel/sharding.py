@@ -71,10 +71,28 @@ class ShardedMSM:
         self._local = local
         self._fn = None
 
+    def shard_points(self, points):
+        """Materialize a point table in its mesh-sharded layout (do this ONCE
+        per table at prover build; resharding per call would defeat HBM
+        residency)."""
+        return tree_map(
+            lambda a: jax.device_put(
+                a, NamedSharding(self.mesh, P(*([None] * (a.ndim - 1) + [self.axis])))
+            ),
+            points,
+        )
+
     def __call__(self, points, scalars):
         """points: (X, Y, inf) with N divisible by mesh size (coords may be
         (c0, c1) tuples for G2); scalars: (L, N) normal form. Returns a
-        replicated projective point (batch 1)."""
+        replicated projective point (batch 1).
+
+        Scalars are canonicalized to the N-sharded layout before the call so
+        the program compiles ONCE regardless of where the caller's scalars
+        live (jit's compile cache is keyed on input shardings)."""
+        scalars = jax.device_put(
+            scalars, NamedSharding(self.mesh, P(None, self.axis))
+        )
         if self._fn is None:
             ax = self.axis
             # specs follow the pytree structure of the inputs
@@ -190,13 +208,18 @@ class ShardedNTT:
 
         self._inv = jax.jit(inv)
 
+    def _canon(self, x):
+        """Canonicalize input sharding (N-sharded) so _fwd/_inv compile once
+        each; callers hand in both host-fresh and mesh-sharded arrays."""
+        return jax.device_put(x, NamedSharding(self.mesh, P(None, self.axis)))
+
     def ntt(self, x):
         """(L, n) coefficients -> evaluations, natural order, sharded out."""
-        return self._fwd(x)
+        return self._fwd(self._canon(x))
 
     def intt(self, x):
         """(L, n) evaluations -> coefficients."""
-        return self._inv(x)
+        return self._inv(self._canon(x))
 
     # --------------------------------------------------------------- coset
     def _cosets(self):

@@ -97,6 +97,12 @@ class TestEngine:
             raise CircuitNotSatisfiedError(f"{a} == {b}")
 
     def assert_is_less_or_equal(self, a, b, nbits: int = 64):
+        # mirrors the builders: BOTH operands range-checked, then the
+        # difference (sound even for unconstrained a, b)
+        if int(a) % self.p >= (1 << nbits):
+            raise CircuitNotSatisfiedError(f"{a} does not fit {nbits} bits")
+        if int(b) % self.p >= (1 << nbits):
+            raise CircuitNotSatisfiedError(f"{b} does not fit {nbits} bits")
         d = (int(b) - int(a)) % self.p
         if d >= (1 << nbits):
             raise CircuitNotSatisfiedError(f"{a} > {b} (mod-p difference {d})")
