@@ -33,11 +33,20 @@ reference's internal/generator).
 
 from __future__ import annotations
 
+import contextvars
 import functools
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# Trace-time switch: inside a Pallas kernel the antidiagonal sums use the
+# skew-reshape (pure u32 VPU; Mosaic cannot lower the f32 dot path exactly
+# and the conversions are dead weight in VMEM), while the plain XLA path
+# keeps the 0/1-selection-matrix matmul (XLA:TPU fuses it well; the skew
+# variant measured 5x SLOWER un-fused at batch 2^20). `fuse` sets this
+# around kernel tracing.
+IN_PALLAS = contextvars.ContextVar("tpusnark_in_pallas", default=False)
 
 from .spec import LIMB_BITS, LIMB_MASK, FieldSpec, int_to_limbs
 
@@ -226,34 +235,64 @@ class Field:
         return self.add(a, a)
 
     def broadcast_const(self, c, like):
-        """(n_limbs,) const -> broadcast to like's shape."""
-        return jnp.broadcast_to(c.reshape((self.n,) + (1,) * (like.ndim - 1)), like.shape)
+        """(n_limbs,) const -> broadcast to like's shape.
+
+        Single broadcast_in_dim (no reshape): Mosaic (Pallas TPU) cannot
+        lower 1-D->n-D reshapes of kernel inputs, but handles this."""
+        return jax.lax.broadcast_in_dim(c, like.shape, (0,))
 
     # --------------------------------------------------------------- mont mul
+    @staticmethod
+    def _antidiag_sum(x, n: int):
+        """Antidiagonal sums t[k] = sum_{i+j=k} x[i, j] for x (n, n, *batch)
+        -> (2n-1, *batch), exact u32, via the skew-reshape trick:
+
+        pad rows to width 2n and re-read the flat buffer with row stride
+        2n-1; then x[i, j] lands at [i, i+j], so antidiagonal k is column k.
+        Pure data movement + a 16-deep sum — no f32 conversion, no matmul;
+        all layout-preserving on TPU (row-major merges only)."""
+        batch = x.shape[2:]
+        xp = jnp.pad(x, ((0, 0), (0, n)) + ((0, 0),) * len(batch))
+        flat = xp.reshape((2 * n * n,) + batch)[: n * (2 * n - 1)]
+        sk = flat.reshape((n, 2 * n - 1) + batch)
+        # unrolled log-tree sum over axis 0 (Mosaic has no u32 reduce op)
+        rows = [sk[i] for i in range(n)]
+        while len(rows) > 1:
+            half = len(rows) // 2
+            rows = [rows[i] + rows[half + i] for i in range(half)] + rows[2 * half :]
+        return rows[0]
+
     def _limb_mul_cols(self, a, b, low_only: bool = False):
         """u32 columns of the limb product a*b, as a (2n, *batch) array
-        (or (n, *batch) if low_only: the product mod R). Columns < 2^22.
+        (or (n, *batch) if low_only: the product mod R). Columns < 2^21.
 
-        a, b: (n, *batch) 16-bit limbs. Antidiagonal sums of the 16x16->32
-        outer product via one constant 0/1 f32 matmul (exact; MXU-eligible).
-        (An 8-bit-piece bf16 variant was measured SLOWER on v5e — the 4x
-        wider matmul RHS is HBM-bandwidth-bound; see git history.)"""
+        a, b: (n, *batch) 16-bit limbs. 16x16->32 outer products (exact in
+        u32), then antidiagonal sums by one of two equivalent routes chosen
+        at trace time (IN_PALLAS): the skew-reshape inside kernels, the 0/1
+        selection-matrix f32 matmul under plain XLA (each ~5x faster than
+        the other in its own regime on v5e)."""
         import math
 
         n = self.n
         outer = a[:, None] * b[None]  # (n, n, *batch) u32, exact
         batch = outer.shape[2:]
-        # explicit sizes (not -1): batch may contain 0-length dims when called
-        # on empty slices inside associative_scan's recursion
-        flat = outer.reshape(n * n, math.prod(batch))
-        lo = (flat & MASK).astype(jnp.float32)
-        hi = (flat >> SHIFT).astype(jnp.float32)
-        sel = self._sel_low if low_only else self._sel_full
-        rows = n if low_only else 2 * n - 1
-        tlo = jax.lax.dot(sel, lo, precision=jax.lax.Precision.HIGHEST)
-        thi = jax.lax.dot(sel, hi, precision=jax.lax.Precision.HIGHEST)
-        tlo = tlo.astype(jnp.uint32).reshape((rows,) + batch)
-        thi = thi.astype(jnp.uint32).reshape((rows,) + batch)
+        if IN_PALLAS.get():
+            lo = outer & MASK
+            hi = outer >> SHIFT
+            tlo = self._antidiag_sum(lo, n)  # (2n-1, *batch) cols < 2^20
+            thi = self._antidiag_sum(hi, n)
+        else:
+            # explicit sizes (not -1): batch may contain 0-length dims when
+            # called on empty slices inside associative_scan's recursion
+            flat = outer.reshape(n * n, math.prod(batch))
+            lo = (flat & MASK).astype(jnp.int32).astype(jnp.float32)
+            hi = (flat >> SHIFT).astype(jnp.int32).astype(jnp.float32)
+            sel = self._sel_low if low_only else self._sel_full
+            rows = n if low_only else 2 * n - 1
+            tlo = jax.lax.dot(sel, lo, precision=jax.lax.Precision.HIGHEST)
+            thi = jax.lax.dot(sel, hi, precision=jax.lax.Precision.HIGHEST)
+            tlo = tlo.astype(jnp.int32).astype(jnp.uint32).reshape((rows,) + batch)
+            thi = thi.astype(jnp.int32).astype(jnp.uint32).reshape((rows,) + batch)
         # columns: t[k] = tlo[k] + thi[k-1]
         if low_only:
             return tlo[:n] + self._shift_up(thi, 1)[:n]
@@ -279,7 +318,8 @@ class Field:
         mp = self._limb_mul_cols(m_limbs, p_arr)
         s = t + mp
         _, carry = self._prop(s[:n])  # low half is all zeros mod R
-        hi = s[n:].at[0].add(carry)
+        # (concatenate, not .at[0].add: scatter has no Pallas TPU lowering)
+        hi = jnp.concatenate([s[n : n + 1] + carry[None], s[n + 1 :]], axis=0)
         limbs, _ = self._prop(hi)  # result < 2p < R: no out-carry
         return limbs
 
@@ -299,9 +339,9 @@ class Field:
         m_limbs, _ = self._prop(m_cols)
         p_arr = self.broadcast_const(self._p_limbs_arr, a)
         mp = self._limb_mul_cols(m_limbs, p_arr)
-        s = mp.at[:n].add(a)
+        s = jnp.concatenate([mp[:n] + a, mp[n:]], axis=0)
         _, carry = self._prop(s[:n])
-        hi = s[n:].at[0].add(carry)
+        hi = jnp.concatenate([s[n : n + 1] + carry[None], s[n + 1 :]], axis=0)
         limbs, _ = self._prop(hi)
         return limbs
 

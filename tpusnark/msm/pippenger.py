@@ -48,13 +48,13 @@ tree_map = jax.tree_util.tree_map
 def get_msm(curve: str = "g1", c: int = 13) -> "MSM":
     """Shared MSM engine per (curve, window size): reuses jit caches across
     callers (a fresh engine would recompile every graph)."""
-    from ..curves.jcurve import g1_ops, g2_ops
+    from ..curves.jcurve import g1_ops_fused, g2_ops_fused
     from ..fields.jfield import get_field
     from ..fields.spec import BN254_FP, BN254_FR
 
     fp = get_field(BN254_FP)
     fr = get_field(BN254_FR)
-    ops = g1_ops(fp) if curve == "g1" else g2_ops(fp)
+    ops = g1_ops_fused(fp) if curve == "g1" else g2_ops_fused(fp)
     return MSM(ops, fr, c=c)
 
 
@@ -286,16 +286,25 @@ class MSM:
                 buckets = log_scan_buckets(skey, pts, N)
             return weighted_buckets(buckets)  # batch-1 point
 
-        # windows in vmapped batches: the whole per-window pipeline is
-        # latency-bound, so sharing kernels across window_batch windows is
-        # a near-linear speedup until HBM fills up. Pick the largest batch
-        # <= window_batch that DIVIDES n_windows (a remainder chunk would
-        # compile a second program).
-        wb = 1
-        for d in range(1, min(self.window_batch, self.n_windows) + 1):
-            if self.n_windows % d == 0:
-                wb = d
-        wsums = jax.lax.map(per_window, digits, batch_size=wb)
+        # Window scheduling is backend-dependent (decided at trace time):
+        #  * TPU: sequential windows (lax.scan). The per-step work runs as
+        #    fused Pallas kernels that are already lane-saturated at
+        #    C-strip width; vmapping pallas_call produces squeezed block
+        #    shapes Mosaic rejects, and dispatch latency is no longer the
+        #    bottleneck once each step is ONE kernel.
+        #  * CPU/other: windows in vmapped batches — the plain-XLA pipeline
+        #    is kernel-launch-latency-bound, so sharing kernels across
+        #    window_batch windows is a near-linear speedup. Pick the largest
+        #    batch <= window_batch that DIVIDES n_windows (a remainder chunk
+        #    would compile a second program).
+        if jax.default_backend() == "tpu":
+            wsums = jax.lax.map(per_window, digits)
+        else:
+            wb = 1
+            for d in range(1, min(self.window_batch, self.n_windows) + 1):
+                if self.n_windows % d == 0:
+                    wb = d
+            wsums = jax.lax.map(per_window, digits, batch_size=wb)
 
         # Horner from the top window down: acc = 2^c * acc + wsum[w]
         acc0 = tree_map(lambda a: a[self.n_windows - 1], wsums)
