@@ -17,6 +17,7 @@ ignored 0 bucket regardless of the scalar, so any scalar tail is safe).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ...constraint.eval_jax import ABCEvaluator
@@ -79,6 +80,22 @@ class ShardedProverCore:
             pow((pow(shift, n, p) - 1) % p, -1, p), mont=True
         )
 
+        # ONE jitted prelude program (A/B/C eval -> H -> scalar prep):
+        # tracing everything in a single program matters enormously for the
+        # virtual-CPU-mesh dryrun — eagerly-dispatched limb ops each trigger
+        # a ~0.4 s XLA:CPU compile, hundreds of which used to dominate the
+        # multichip validation wall-clock.
+        def _prelude(w_mont, w_norm):
+            A, B, C = self._ev(w_mont)
+            h = self.compute_h(A, B, C)
+            h = jnp.pad(h, ((0, 0), (0, self.m - h.shape[1])))
+            priv = jnp.pad(
+                w_norm[:, self.cs.n_public :], ((0, 0), (0, self.cs.n_public))
+            )
+            return h, priv
+
+        self._prelude_j = jax.jit(_prelude)
+
     # ------------------------------------------------------------------ H
     def compute_h(self, A, B, C):
         """(L, n_constraints) Montgomery solution vectors -> (L, n) normal
@@ -108,14 +125,9 @@ class ShardedProverCore:
     def __call__(self, w_mont, w_norm):
         """w_mont: (L, n_wires) Montgomery; w_norm: (L, m) normal form
         (zero-padded). Returns 5 raw projective points."""
-        A, B, C = self._ev(w_mont)
-        h = self.compute_h(A, B, C)
-        h = jnp.pad(h, ((0, 0), (0, self.m - h.shape[1])))
         # private-wire scalars shifted to the front (k table layout); the
         # tail beyond the real private wires pairs with identity padding
-        priv = jnp.pad(
-            w_norm[:, self.cs.n_public :], ((0, 0), (0, self.cs.n_public))
-        )
+        h, priv = self._prelude_j(w_mont, w_norm)
         ar = self._msm1(self._pts["a"], w_norm)
         bs1 = self._msm1(self._pts["b1"], w_norm)
         bs2 = self._msm2(self._pts["b2"], w_norm)
@@ -125,25 +137,16 @@ class ShardedProverCore:
 
     # ------------------------------------------------------------------ warmup
     def warmup(self):
-        """Compile the (independent) sharded programs CONCURRENTLY: the G2
-        MSM is the long pole of XLA:CPU compilation, so overlapping it with
-        the G1 MSM and the two NTT programs cuts dryrun wall-clock ~2-3x.
-        XLA compilation releases the GIL, so plain threads suffice."""
-        from concurrent.futures import ThreadPoolExecutor
-
+        """Compile the three sharded programs (prelude incl. NTTs, G1 MSM,
+        G2 MSM) SERIALLY: each XLA compile is internally multi-threaded, so
+        overlapping them on a small host (the CPU-mesh dryrun box has 2
+        cores) thrashes instead of helping."""
         L = _fr.n
-        x = jnp.zeros((L, self.n), dtype=jnp.uint32)
         w = jnp.zeros((L, self.m), dtype=jnp.uint32)
-
-        jobs = [
-            lambda: self._ntt.ntt(x),
-            lambda: self._ntt.intt(x),
-            lambda: self._msm1(self._pts["a"], w),
-            lambda: self._msm2(self._pts["b2"], w),
-        ]
-        with ThreadPoolExecutor(len(jobs)) as ex:
-            for r in list(ex.map(lambda f: f(), jobs)):
-                pass
+        wm = jnp.zeros((L, self.cs.n_wires), dtype=jnp.uint32)
+        self._prelude_j(wm, w)
+        self._msm1(self._pts["a"], w)
+        self._msm2(self._pts["b2"], w)
 
 
 def prove_sharded(cs: ConstraintSystem, pk: ProvingKey, assignment: dict, mesh,

@@ -113,8 +113,56 @@ class MSM:
         projective point with batch dim 1."""
         return self._msm_j(points_affine, scalars_norm)
 
+    # ------------------------------------------------------------ tiny sizes
+    ladder_threshold: int = 96
+
+    def _ladder_impl(self, points_affine, scalars):
+        """Bit ladder for tiny N: acc = 2*acc + sum(bit_i ? P_i : O), one
+        lax.scan over scalar bits MSB-first. Orders of magnitude smaller
+        graph than the bucket pipeline (the XLA:CPU mesh dryrun compiles the
+        per-device-shard MSM; an 85-window Pippenger for an 8-point shard
+        was the compile-time long pole), and tiny-N proves are launch-bound
+        anyway."""
+        ops = self.ops
+        X, Y, inf = points_affine
+        nbits = self.scalar_bits
+        rows = []
+        for b in reversed(range(nbits)):
+            k, r = divmod(b, 16)
+            rows.append((scalars[k] >> jnp.uint32(r)) & jnp.uint32(1))
+        bits = jnp.stack(rows, axis=0)  # (nbits, N), MSB first
+        pts = ops.from_affine((X, Y, inf))
+        ident = ops.identity_like(X)
+        acc0 = ops.identity_like(tree_map(lambda a: a[..., :1], X))
+
+        def fold(v, m):
+            while m > 1:
+                if m % 2:
+                    one = tree_map(lambda a: a[..., :1], ident)
+                    v = tree_map(
+                        lambda a, b: jnp.concatenate([a, b], axis=-1), v, one
+                    )
+                    m += 1
+                half = m // 2
+                v = ops.add(
+                    tree_map(lambda a: a[..., :half], v),
+                    tree_map(lambda a: a[..., half:], v),
+                )
+                m = half
+            return v
+
+        def step(acc, bit_row):
+            acc = ops.double(acc)
+            sel = ops.select(bit_row == 1, pts, ident)
+            return ops.add(acc, fold(sel, inf.shape[-1])), None
+
+        acc, _ = jax.lax.scan(step, acc0, bits)
+        return acc
+
     # ------------------------------------------------------------------ impl
     def _msm_impl(self, points_affine, scalars):
+        if points_affine[2].shape[-1] <= self.ladder_threshold:
+            return self._ladder_impl(points_affine, scalars)
         ops, c = self.ops, self.c
         B = 1 << c
         X, Y, inf = points_affine

@@ -142,7 +142,7 @@ class ShardedNTT:
             while n1 * n1 < n:
                 n1 *= 2
         n2 = n // n1
-        assert n1 * n2 == n and n1 % n_dev == 0 and n2 % n_dev == 0
+        assert n1 * n2 == n
         self.n1, self.n2 = n1, n2
         self.ntt1 = get_ntt(spec, n1)
         self.ntt2 = get_ntt(spec, n2)
@@ -159,8 +159,17 @@ class ShardedNTT:
         self._n_inv = f.const(pow(n, -1, p), mont=True)
 
         L = f.n
-        sh_j2 = NamedSharding(mesh, P(None, None, axis))  # shard last axis (j2/k2)
-        sh_k1 = NamedSharding(mesh, P(None, axis, None))  # shard middle axis (k1)
+        # shard a stage only when its factor divides the mesh; tiny domains
+        # (n < n_dev^2) replicate the short stage instead of failing
+        sh_j2 = NamedSharding(
+            mesh, P(None, None, axis) if n2 % n_dev == 0 else P()
+        )  # shard last axis (j2/k2)
+        sh_k1 = NamedSharding(
+            mesh, P(None, axis, None) if n1 % n_dev == 0 else P()
+        )  # shard middle axis (k1)
+        self._out_sh = NamedSharding(
+            mesh, P(None, axis) if n % n_dev == 0 else P()
+        )
         wsc = jax.lax.with_sharding_constraint
 
         def fourstep(x, tw, inverse: bool):
@@ -178,7 +187,7 @@ class ShardedNTT:
             xm = stage2(xm)  # over j2 axis (last), batch over (sharded) k1
             # xm[k1, k2] = X[k1 + n1*k2]; natural order = transpose+flatten
             out = jnp.swapaxes(xm, 1, 2).reshape(L, n)
-            return wsc(out, NamedSharding(mesh, P(None, axis)))
+            return wsc(out, self._out_sh)
 
         # coset tables for the quotient computation (lazy, like poly.ntt)
         self._coset_tbl = None
@@ -204,7 +213,7 @@ class ShardedNTT:
             xm = self.ntt1.intt(xm)
             xm = jnp.swapaxes(xm, 1, 2)  # (L, n1, n2) index (j1, j2)
             out = xm.reshape(L, n)
-            return wsc(out, NamedSharding(mesh, P(None, axis)))
+            return wsc(out, self._out_sh)
 
         self._inv = jax.jit(inv)
 
