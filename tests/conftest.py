@@ -30,3 +30,19 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from tpusnark.utils.jaxcfg import enable_compilation_cache  # noqa: E402
 
 enable_compilation_cache()
+
+import pytest  # noqa: E402
+
+# Tiered tests, mirroring gnark's `-short` / prover_checks build-tag tiers
+# (/root/reference/test/assert_checkcircuit.go:15-29): the default tier is
+# the fast CI gate; heavyweight end-to-end cases opt in via the `slow`
+# marker and run when TPUSNARK_SLOW_TESTS=1.
+
+
+def pytest_collection_modifyitems(config, items):
+    if os.environ.get("TPUSNARK_SLOW_TESTS"):
+        return
+    skip = pytest.mark.skip(reason="slow tier (set TPUSNARK_SLOW_TESTS=1)")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)

@@ -58,6 +58,7 @@ def test_groth16_tampered_proof_fails(cubic_keys):
     assert not groth16.verify(bad, vk, [35])
 
 
+@pytest.mark.slow
 def test_groth16_bigger_circuit_with_hints():
     """Exercises hints (is_zero), booleans, select through the full pipeline."""
     b = Builder(ref.R)

@@ -84,6 +84,7 @@ def test_plonk_rejects_tampered_commitment(plonk_artifacts):
     assert not plonk.verify(bad, vk, [35])
 
 
+@pytest.mark.slow
 def test_plonk_richer_circuit():
     """select/xor/is_zero/hints exercise hint solving + boolean gates."""
     b = PlonkBuilder(P)

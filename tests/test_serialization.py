@@ -104,3 +104,32 @@ def test_profiler():
         b.mul(y, x)
     assert s.total == 2
     assert "test_serialization" in s.top()
+
+
+def test_pk_roundtrip():
+    """ProvingKey WriteTo/ReadFrom layout (marshal.go:235-290 structure:
+    filtered A/B tables + infinity masks + domain header)."""
+    from tpusnark.backend.groth16.keys import ProvingKey
+    from tpusnark.backend.groth16.marshal import pk_from_bytes, pk_to_bytes
+    from tpusnark.curves.ref import G1, G2
+
+    g = G1.generator()
+    h = G2.generator()
+    pk = ProvingKey(
+        alpha_g1=G1.mul(g, 3),
+        beta_g1=G1.mul(g, 5),
+        delta_g1=G1.mul(g, 7),
+        beta_g2=G2.mul(h, 5),
+        delta_g2=G2.mul(h, 7),
+        a=[G1.mul(g, 2), None, G1.mul(g, 4)],
+        b1=[None, G1.mul(g, 6), G1.mul(g, 8)],
+        b2=[None, G2.mul(h, 6), G2.mul(h, 8)],
+        k=[G1.mul(g, 9), None],
+        z=[G1.mul(g, 10), G1.mul(g, 12)],
+        domain_n=4,
+    )
+    for raw in (False, True):
+        back = pk_from_bytes(pk_to_bytes(pk, raw=raw))
+        for f in ("alpha_g1", "beta_g1", "delta_g1", "beta_g2", "delta_g2",
+                  "a", "b1", "b2", "k", "z", "domain_n"):
+            assert getattr(back, f) == getattr(pk, f), f

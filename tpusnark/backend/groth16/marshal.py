@@ -1,4 +1,4 @@
-"""Groth16 proof / verifying-key serialization in gnark's wire format.
+"""Groth16 proof / proving-key / verifying-key serialization, gnark layout.
 
 Mirrors /root/reference/backend/groth16/bn254/marshal.go:
   Proof.WriteTo  -> Ar | Bs | Krs (compressed) | [u32 nbCommitments|points]
@@ -6,8 +6,21 @@ Mirrors /root/reference/backend/groth16/bn254/marshal.go:
   VK.WriteTo     -> G1.Alpha | G1.Beta | G2.Beta | G2.Gamma | G1.Delta
                     | G2.Delta | [u32 len(K) | K...]
                     | publicAndCommitmentCommitted | commitment key
-(this backend has no BSB22 commitments yet, so the commitment sections
-serialize as empty: nbCommitments == 0, empty committed list).
+  PK.WriteTo (marshal.go:235-290) ->
+       fft.Domain | Alpha | Beta | Delta | [A] | [B] | [Z] | [K]
+       | G2.Beta | G2.Delta | [B2] | u64 nbWires | u64 NbInfinityA
+       | u64 NbInfinityB | InfinityA | InfinityB | u32 nbCommitmentKeys
+    where [A]/[B]/[B2] carry only the non-infinity points and the masks
+    mark the dropped slots (setup.go:213-239 filtering).
+
+Caveats (documented, not hidden): this image has no Go toolchain and does
+not vendor gnark-crypto, so two encodings inside the PK stream are
+hand-derived from the gnark-crypto v0.12 API and are round-trip-tested but
+NOT validated against gnark-produced bytes: (a) fft.Domain.WriteTo is
+written as u64 cardinality + 5 fr elements (cardinality^-1, generator,
+generator^-1, multiplicative generator, its inverse), 32-byte big-endian
+each; (b) []bool masks are u32 length + one 0/1 byte per entry. Proof and
+VK streams contain neither and follow gnark exactly.
 """
 
 from __future__ import annotations
@@ -22,7 +35,7 @@ from ...curves.marshal import (
     g2_decode,
     g2_raw,
 )
-from .keys import Proof, VerifyingKey
+from .keys import Proof, ProvingKey, VerifyingKey
 
 
 def proof_to_bytes(proof: Proof, raw: bool = False) -> bytes:
@@ -93,4 +106,127 @@ def vk_from_bytes(data: bytes) -> VerifyingKey:
         k=k,
         beta_g1=beta_g1,
         delta_g1=delta_g1,
+    )
+
+
+# --------------------------------------------------------------- proving key
+def _fr_bytes(x: int) -> bytes:
+    return int(x).to_bytes(32, "big")
+
+
+def _domain_to_bytes(n: int) -> bytes:
+    """fft.Domain stream (hand-derived; see module docstring caveat (a))."""
+    from ...fields.spec import BN254_FR
+    from ...poly.domain import Domain
+
+    d = Domain(BN254_FR, n)
+    p = BN254_FR.modulus
+    out = struct.pack(">Q", n)
+    for v in (
+        pow(n, -1, p),
+        d.generator,
+        pow(d.generator, -1, p),
+        d.coset_shift,
+        pow(d.coset_shift, -1, p),
+    ):
+        out += _fr_bytes(v)
+    return out
+
+
+_DOMAIN_BYTES = 8 + 5 * 32
+
+
+def _bools_to_bytes(mask: list[bool]) -> bytes:
+    return struct.pack(">I", len(mask)) + bytes(1 if b else 0 for b in mask)
+
+
+def _bools_from_bytes(data: bytes, off: int):
+    (n,) = struct.unpack_from(">I", data, off)
+    off += 4
+    return [b != 0 for b in data[off : off + n]], off + n
+
+
+def pk_to_bytes(pk: ProvingKey, raw: bool = False) -> bytes:
+    eg1 = g1_raw if raw else g1_compress
+    eg2 = g2_raw if raw else g2_compress
+    inf_a = [pt is None for pt in pk.a]
+    inf_b = [pt is None for pt in pk.b1]
+
+    def pts_g1(pts):
+        body = b"".join(eg1(pt) for pt in pts if pt is not None)
+        return struct.pack(">I", sum(pt is not None for pt in pts)) + body
+
+    out = _domain_to_bytes(pk.domain_n)
+    out += eg1(pk.alpha_g1) + eg1(pk.beta_g1) + eg1(pk.delta_g1)
+    out += pts_g1(pk.a) + pts_g1(pk.b1)
+    out += struct.pack(">I", len(pk.z)) + b"".join(eg1(pt) for pt in pk.z)
+    out += struct.pack(">I", len(pk.k)) + b"".join(eg1(pt) for pt in pk.k)
+    out += eg2(pk.beta_g2) + eg2(pk.delta_g2)
+    nb2 = sum(1 for i, pt in enumerate(pk.b2) if not inf_b[i])
+    out += struct.pack(">I", nb2) + b"".join(
+        eg2(pt) for i, pt in enumerate(pk.b2) if not inf_b[i]
+    )
+    out += struct.pack(">Q", len(pk.a))  # nbWires
+    out += struct.pack(">Q", sum(inf_a))  # NbInfinityA
+    out += struct.pack(">Q", sum(inf_b))
+    out += _bools_to_bytes(inf_a) + _bools_to_bytes(inf_b)
+    out += struct.pack(">I", 0)  # no commitment keys (BSB22 pending)
+    return out
+
+
+def pk_from_bytes(data: bytes) -> ProvingKey:
+    off = 0
+    (n,) = struct.unpack_from(">Q", data, off)
+    off += _DOMAIN_BYTES
+
+    def dec_g1():
+        nonlocal off
+        pt, used = g1_decode(data[off:])
+        off += used
+        return pt
+
+    def dec_g2():
+        nonlocal off
+        pt, used = g2_decode(data[off:])
+        off += used
+        return pt
+
+    def dec_g1_list():
+        nonlocal off
+        (m,) = struct.unpack_from(">I", data, off)
+        off += 4
+        return [dec_g1() for _ in range(m)]
+
+    alpha, beta1, delta1 = dec_g1(), dec_g1(), dec_g1()
+    a_f = dec_g1_list()
+    b1_f = dec_g1_list()
+    z = dec_g1_list()
+    k = dec_g1_list()
+    beta2, delta2 = dec_g2(), dec_g2()
+    (nb2,) = struct.unpack_from(">I", data, off)
+    off += 4
+    b2_f = [dec_g2() for _ in range(nb2)]
+    (nb_wires,) = struct.unpack_from(">Q", data, off)
+    off += 8 + 8 + 8  # nbWires, NbInfinityA, NbInfinityB
+    inf_a, off = _bools_from_bytes(data, off)
+    inf_b, off = _bools_from_bytes(data, off)
+    (nb_ck,) = struct.unpack_from(">I", data, off)
+    assert nb_ck == 0, "commitment keys not supported yet"
+
+    def unfilter(filtered, mask):
+        it = iter(filtered)
+        return [None if m else next(it) for m in mask]
+
+    return ProvingKey(
+        alpha_g1=alpha,
+        beta_g1=beta1,
+        delta_g1=delta1,
+        beta_g2=beta2,
+        delta_g2=delta2,
+        a=unfilter(a_f, inf_a),
+        b1=unfilter(b1_f, inf_b),
+        b2=unfilter(b2_f, inf_b),
+        k=k,
+        z=z,
+        domain_n=int(n),
     )
