@@ -97,6 +97,7 @@ class Field:
         sub_cols = int_to_limbs(2 * p, n).astype(np.uint64) + LIMB_MASK
         sub_cols[0] += 1
         self._sub_const = jnp.asarray(sub_cols.astype(np.uint32))
+        self._fused: dict = {}
 
     # ------------------------------------------------------------------ utils
     def const(self, x: int, mont: bool = False) -> jnp.ndarray:
@@ -300,7 +301,39 @@ class Field:
         thi_full = jnp.concatenate([jnp.zeros_like(thi[:1]), thi], axis=0)
         return tlo_full + thi_full
 
+    # Auto-fuse threshold: above this many batch lanes the plain-XLA mul's
+    # materialized intermediates (the (n,n,*batch) outer product and its f32
+    # lo/hi copies — ~6 GB at batch 2^20 for 16 limbs) dominate; route the op
+    # through the Pallas batch tiler instead (VMEM-resident, ~5x faster, and
+    # peak memory is O(tile) not O(batch)).
+    AUTO_FUSE_LANES = 1 << 15
+
+    def _auto_fuse(self, name: str, impl):
+        """Cached fuse() wrapper for a 2-ary limb op (TPU only)."""
+        w = self._fused.get(name)
+        if w is None:
+            from .fuse import fuse
+
+            w = fuse(impl, lanes=2048)
+            self._fused[name] = w
+        return w
+
+    def _should_fuse(self, a) -> bool:
+        import math
+
+        if IN_PALLAS.get() or jax.default_backend() != "tpu":
+            return False
+        return math.prod(a.shape[1:]) >= self.AUTO_FUSE_LANES
+
     def mul(self, a, b):
+        """Full-word Montgomery product a*b*R^-1 mod p; auto-tiled through a
+        Pallas kernel for large batches (see AUTO_FUSE_LANES)."""
+        a, b = jnp.broadcast_arrays(a, b)
+        if self._should_fuse(a):
+            return self._auto_fuse("mul", self._mul_impl)(a, b)
+        return self._mul_impl(a, b)
+
+    def _mul_impl(self, a, b):
         """Full-word Montgomery product a*b*R^-1 mod p.
 
         Inputs < 2p (lazy range); output < 2p. Sound since 4p < R:
@@ -330,6 +363,12 @@ class Field:
         return self.mul(a, self.broadcast_const(self._r2, a))
 
     def from_mont(self, a):
+        """REDC(a): a*R^-1 mod p (auto-tiled like mul for large batches)."""
+        if self._should_fuse(a):
+            return self._auto_fuse("from_mont", self._from_mont_impl)(a)
+        return self._from_mont_impl(a)
+
+    def _from_mont_impl(self, a):
         """REDC(a): a*R^-1 mod p. Input < 2p; output <= p (p only when a = p
         represents zero — harmless: decode reduces mod p, and as an MSM
         scalar over fr, r*P is the identity anyway)."""
