@@ -21,12 +21,17 @@ class VerifyingKey:
     beta_g2: tuple
     gamma_g2: tuple
     delta_g2: tuple
-    k: list  # G1 points, one per public wire (index 0 = the constant wire)
+    k: list  # G1 points: one per public wire (index 0 = the constant wire),
+    # then one per BSB22 commitment wire (verifier-injected challenges)
     # gnark carries G1.Beta/Delta on the VK purely for wire compatibility
     # ("unused, here for compatibility purposes", setup.go:66, = pk.G1.Beta/
     # Delta at setup.go:326-327); we store them so vk bytes match gnark's.
     beta_g1: tuple | None = None
     delta_g1: tuple | None = None
+    # BSB22 (reference verify.go:76-108): Pedersen vk + per-commitment index
+    # lists into the extended public witness for the challenge hash
+    commitment_key: object | None = None
+    public_and_commitment_committed: list = field(default_factory=list)
 
     @property
     def n_public(self) -> int:
@@ -43,9 +48,13 @@ class ProvingKey:
     a: list  # G1, per wire: A_w(t)
     b1: list  # G1, per wire: B_w(t)
     b2: list  # G2, per wire: B_w(t)
-    k: list  # G1, per PRIVATE wire: (beta*A_w + alpha*B_w + C_w)/delta
+    k: list  # G1, per uncommitted private wire: (beta*A_w+alpha*B_w+C_w)/delta
     z: list  # G1, length n-1: t^i * Z_H(t)/delta
     domain_n: int = 0
+    # BSB22: wire ids backing pk.k (identity when no commitments), and the
+    # Pedersen proving keys (basis = K of committed wires, setup.go:146-197)
+    k_wires: list | None = None
+    commitment_keys: list = field(default_factory=list)
     # lazy device residency (icicle.go:31-130 analog)
     _dev: dict = field(default_factory=dict, repr=False)
 
@@ -69,3 +78,7 @@ class Proof:
     ar: tuple  # G1
     krs: tuple  # G1
     bs: tuple  # G2
+    # BSB22 (reference Proof, prove.go:46-56): one Pedersen commitment per
+    # frontend Commit plus a single folded proof of knowledge
+    commitments: list = field(default_factory=list)
+    commitment_pok: tuple | None = None

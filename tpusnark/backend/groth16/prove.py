@@ -88,8 +88,41 @@ def prove(cs: ConstraintSystem, pk: ProvingKey, assignment: dict, rng=None) -> P
     rand = rng or (lambda: secrets.randbelow(p))
     r, s = rand(), rand()
 
-    W = solve(cs, assignment)
+    # BSB22: override the placeholder hint with the real Pedersen commit +
+    # hash-to-field challenge (reference prove.go:84-112)
+    n_com = len(cs.commitments)
+    proof_commitments: list = [None] * n_com
+    private_vals: list = [None] * n_com
+    overrides = None
+    if n_com:
+        from ...constraint.hints import bsb22_placeholder
+        from ...curves.marshal import g1_raw
+        from ...curves.pedersen import pedersen_batch_prove, pedersen_commit
+        from ...utils.hash_to_field import COMMITMENT_DST, hash_to_field
+
+        def bsb22_real(p_, ins):
+            i = int(ins[0])
+            rest = ins[1:]
+            n_hashed = len(cs.commitments[i].public_and_commitment_committed)
+            hashed = rest[:n_hashed]
+            committed = [int(v) % p_ for v in rest[n_hashed:]]
+            C = pedersen_commit(pk.commitment_keys[i], committed)
+            proof_commitments[i] = C
+            private_vals[i] = committed
+            msg = g1_raw(C) + b"".join(int(v).to_bytes(32, "big") for v in hashed)
+            return [hash_to_field(msg, COMMITMENT_DST, p_)[0]]
+
+        overrides = {bsb22_placeholder: bsb22_real}
+
+    W = solve(cs, assignment, hint_overrides=overrides)
     n = pk.domain_n
+
+    pok = None
+    if n_com:
+        seeds = b"".join(
+            int(W[cm.commitment_index]).to_bytes(32, "big") for cm in cs.commitments
+        )
+        pok = pedersen_batch_prove(pk.commitment_keys, private_vals, seeds)
 
     w_mont = jnp.asarray(_fr.spec.encode(W, mont=True).T.copy())
     A, B, C = _abc_eval(cs)(w_mont)
@@ -99,7 +132,12 @@ def prove(cs: ConstraintSystem, pk: ProvingKey, assignment: dict, rng=None) -> P
     msm_g1, msm_g2 = _engines(cs.n_wires)
 
     w_dev = _scalars_dev(W)
-    priv_dev = w_dev[:, cs.n_public :]
+    if pk.k_wires is not None:
+        # committed/commitment wires are excluded from pk.K (their K lives in
+        # the Pedersen basis / vk); gather the backing wires explicitly
+        priv_dev = w_dev[:, np.asarray(pk.k_wires, dtype=np.int32)]
+    else:
+        priv_dev = w_dev[:, cs.n_public :]
 
     ar_raw = msm_g1(dev["a"], w_dev)
     bs1_raw = msm_g1(dev["b1"], w_dev)
@@ -122,4 +160,6 @@ def prove(cs: ConstraintSystem, pk: ProvingKey, assignment: dict, rng=None) -> P
     krs = G1.add(krs, G1.mul(ar, s))
     krs = G1.add(krs, G1.mul(bs1, r))
     krs = G1.add(krs, G1.mul(pk.delta_g1, (-r * s) % p))
-    return Proof(ar=ar, krs=krs, bs=bs)
+    return Proof(
+        ar=ar, krs=krs, bs=bs, commitments=proof_commitments, commitment_pok=pok
+    )

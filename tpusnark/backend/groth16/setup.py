@@ -154,10 +154,30 @@ def setup(cs: ConstraintSystem, rng=None, use_device: bool = True):
     gamma_inv = pow(gamma, -1, p)
     delta_inv = pow(delta, -1, p)
     npub = cs.n_public
-    k_vk_s = [(beta * A[w] + alpha * B[w] + C[w]) * gamma_inv % p for w in range(npub)]
-    k_pk_s = [
-        (beta * A[w] + alpha * B[w] + C[w]) * delta_inv % p for w in range(npub, cs.n_wires)
+
+    # BSB22 commitment-aware K split (reference setup.go:100-197): the
+    # commitment wires are verifier-injected so their K goes to vk (gammaInv);
+    # committed private wires' K become the Pedersen commitment basis
+    # (gammaInv); everything else private goes to pk.K (deltaInv).
+    commitment_wires = [c.commitment_index for c in cs.commitments]
+    cw_set = set(commitment_wires)
+    committed_of: dict[int, int] = {}  # private committed wire -> commitment idx
+    for j, cm in enumerate(cs.commitments):
+        for w in cm.private_committed:
+            committed_of[w] = j
+
+    def k_at(w, coeff):
+        return (beta * A[w] + alpha * B[w] + C[w]) * coeff % p
+
+    k_vk_s = [k_at(w, gamma_inv) for w in range(npub)]
+    k_vk_s += [k_at(w, gamma_inv) for w in sorted(cw_set)]
+    ck_s = [[k_at(w, gamma_inv) for w in cm.private_committed] for cm in cs.commitments]
+    k_pk_wires = [
+        w
+        for w in range(npub, cs.n_wires)
+        if w not in cw_set and w not in committed_of
     ]
+    k_pk_s = [k_at(w, delta_inv) for w in k_pk_wires]
     zt = (pow(t, n, p) - 1) % p
     z_s = []
     ti = 1
@@ -165,8 +185,9 @@ def setup(cs: ConstraintSystem, rng=None, use_device: bool = True):
         z_s.append(zt * delta_inv % p * ti % p)
         ti = ti * t % p
 
-    # one big G1 batch: [A | B | K_vk | K_pk | Z | alpha, beta, delta]
-    g1_scalars = A + B + k_vk_s + k_pk_s + z_s + [alpha, beta, delta]
+    # one big G1 batch: [A | B | K_vk | K_pk | CK... | Z | alpha, beta, delta]
+    ck_flat = [s for lst in ck_s for s in lst]
+    g1_scalars = A + B + k_vk_s + k_pk_s + ck_flat + z_s + [alpha, beta, delta]
     g1_pts = _g1_many(g1_scalars, use_device)
     o = 0
     nw = cs.n_wires
@@ -174,17 +195,39 @@ def setup(cs: ConstraintSystem, rng=None, use_device: bool = True):
     o += nw
     b1_pts = g1_pts[o : o + nw]
     o += nw
-    k_vk = g1_pts[o : o + npub]
-    o += npub
-    k_pk = g1_pts[o : o + nw - npub]
-    o += nw - npub
+    k_vk = g1_pts[o : o + len(k_vk_s)]
+    o += len(k_vk_s)
+    k_pk = g1_pts[o : o + len(k_pk_s)]
+    o += len(k_pk_s)
+    ck_bases = []
+    for lst in ck_s:
+        ck_bases.append(g1_pts[o : o + len(lst)])
+        o += len(lst)
     z_pts = g1_pts[o : o + n - 1]
     o += n - 1
     alpha_g1, beta_g1, delta_g1 = g1_pts[o : o + 3]
 
+    commitment_keys, commitment_vk = [], None
+    if cs.commitments:
+        from ...curves.pedersen import pedersen_setup
+
+        commitment_keys, commitment_vk = pedersen_setup(ck_bases, rand)
+
     g2_pts = _g2_many(B + [beta, gamma, delta], use_device)
     b2_pts = g2_pts[:nw]
     beta_g2, gamma_g2, delta_g2 = g2_pts[nw : nw + 3]
+
+    # verifier-side committed-public index lists: wire ids of committed
+    # publics stay as positions into [1 | publics]; committed commitment
+    # wires translate to npub + (ordinal of that commitment), matching the
+    # extended public witness the verifier builds
+    # (reference GetPublicAndCommitmentCommitted, constraint/commitment.go:53).
+    cw_sorted = sorted(cw_set)
+    cw_pos = {w: npub + i for i, w in enumerate(cw_sorted)}
+    pub_committed = [
+        [cw_pos.get(w, w) for w in cm.public_and_commitment_committed]
+        for cm in cs.commitments
+    ]
 
     pk = ProvingKey(
         alpha_g1=alpha_g1,
@@ -198,6 +241,8 @@ def setup(cs: ConstraintSystem, rng=None, use_device: bool = True):
         k=k_pk,
         z=z_pts,
         domain_n=n,
+        k_wires=k_pk_wires,
+        commitment_keys=commitment_keys,
     )
     vk = VerifyingKey(
         alpha_g1=alpha_g1,
@@ -207,5 +252,7 @@ def setup(cs: ConstraintSystem, rng=None, use_device: bool = True):
         k=k_vk,
         beta_g1=beta_g1,
         delta_g1=delta_g1,
+        commitment_key=commitment_vk,
+        public_and_commitment_committed=pub_committed,
     )
     return pk, vk

@@ -22,9 +22,11 @@ def verify(proof: Proof, vk: VerifyingKey, public_inputs: list[int]) -> bool:
     wire (gnark convention: witness.Public())."""
     p = ref.R
     pubs = [1] + [int(x) % p for x in public_inputs]
-    if len(pubs) != len(vk.k):
+    n_com = len(vk.public_and_commitment_committed)
+    if len(pubs) + n_com != len(vk.k):
         raise InvalidProofError(
-            f"wrong number of public inputs: got {len(pubs) - 1}, want {len(vk.k) - 1}"
+            f"wrong number of public inputs: got {len(pubs) - 1}, "
+            f"want {len(vk.k) - 1 - n_com}"
         )
     for pt in (proof.ar, proof.krs):
         if not G1.on_curve(pt):
@@ -32,11 +34,37 @@ def verify(proof: Proof, vk: VerifyingKey, public_inputs: list[int]) -> bool:
     if not G2.on_curve(proof.bs):
         raise InvalidProofError("proof point not on curve")
 
+    # BSB22 (reference verify.go:76-108): recompute each commitment's
+    # challenge from the proof's commitment point + committed public values,
+    # extend the public witness with it, then verify the folded Pedersen PoK.
+    if n_com:
+        from ...curves.marshal import g1_raw
+        from ...curves.pedersen import pedersen_fold_commitments
+        from ...utils.hash_to_field import COMMITMENT_DST, hash_to_field
+
+        if len(proof.commitments) != n_com or proof.commitment_pok is None:
+            raise InvalidProofError("proof missing BSB22 commitment sections")
+        for i, idxs in enumerate(vk.public_and_commitment_committed):
+            C = proof.commitments[i]
+            if C is not None and not G1.on_curve(C):
+                raise InvalidProofError("commitment point not on curve")
+            msg = g1_raw(C) + b"".join(
+                int(pubs[j]).to_bytes(32, "big") for j in idxs
+            )
+            pubs.append(hash_to_field(msg, COMMITMENT_DST, p)[0])
+        seeds = b"".join(int(v).to_bytes(32, "big") for v in pubs[-n_com:])
+        folded = pedersen_fold_commitments(proof.commitments, seeds)
+        if not vk.commitment_key.verify(folded, proof.commitment_pok):
+            raise InvalidProofError("BSB22 commitment PoK verification failed")
+
     ksum = None
     for w, pt in zip(pubs, vk.k):
         if pt is None or w == 0:
             continue
         ksum = G1.add(ksum, G1.mul(pt, w))
+    # commitments fold into the public-input sum (reference verify.go:117-119)
+    for C in proof.commitments:
+        ksum = G1.add(ksum, C)
 
     # e(-Ar,Bs) * e(alpha,beta) * e(kSum,gamma) * e(Krs,delta) == 1
     return pairing_check(

@@ -75,4 +75,23 @@ def bits_hint_factory(nbits: int):
     return fn
 
 
+def bsb22_placeholder(p, ins):
+    """BSB22 commitment placeholder hint (gnark
+    frontend/cs/commitment.go:15 Bsb22CommitmentComputePlaceholder): the
+    prover overrides it with the real Pedersen-commit + hash-to-field
+    computation. Outside a prover (test engine / solver-only runs) it
+    returns a deterministic nonzero stand-in derived from the inputs so
+    solve-only flows work — proofs made without the override are unsound
+    and will fail verification, exactly like the reference's random
+    placeholder."""
+    import hashlib
+
+    h = hashlib.sha256(b"bsb22-placeholder")
+    for x in ins:
+        h.update(int(x % p).to_bytes((p.bit_length() + 7) // 8, "big"))
+    v = int.from_bytes(h.digest(), "big") % p
+    return [v if v else 1]
+
+
 register_hint(inv_hint)
+register_hint(bsb22_placeholder)

@@ -40,6 +40,15 @@ def r1cs_to_dict(cs: ConstraintSystem) -> dict:
         "constraints": [[c.L, c.R, c.O] for c in cs.constraints],
         "instructions": insts,
         "finalized": cs._finalized,
+        "commitments": [
+            [
+                cm.public_and_commitment_committed,
+                cm.nb_public_committed,
+                cm.private_committed,
+                cm.commitment_index,
+            ]
+            for cm in cs.commitments
+        ],
     }
 
 
@@ -69,6 +78,17 @@ def r1cs_from_dict(d: dict) -> ConstraintSystem:
             for w in outputs:
                 cs.wire_def[w] = i
     cs.debug_info = [None] * len(cs.instructions)
+    from .system import Groth16Commitment
+
+    cs.commitments = [
+        Groth16Commitment(
+            public_and_commitment_committed=list(pc),
+            nb_public_committed=int(nbp),
+            private_committed=list(pv),
+            commitment_index=int(ci),
+        )
+        for pc, nbp, pv, ci in d.get("commitments", [])
+    ]
     cs._finalized = bool(d["finalized"])
     return cs
 

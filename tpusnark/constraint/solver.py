@@ -19,9 +19,14 @@ class UnsatisfiedConstraintError(Exception):
         self.idx = idx
 
 
-def solve(cs: ConstraintSystem, assignment: dict) -> list[int]:
+def solve(cs: ConstraintSystem, assignment: dict, hint_overrides: dict | None = None) -> list[int]:
     """assignment: name -> int for all public+secret inputs.
-    Returns the full wire vector W (python ints), W[0] == 1."""
+    Returns the full wire vector W (python ints), W[0] == 1.
+
+    hint_overrides: {hint fn or name -> replacement fn} — the prover's
+    OverrideHint seam (gnark solver.OverrideHint, used to swap the BSB22
+    placeholder for the real commitment computation,
+    /root/reference/backend/groth16/bn254/prove.go:84)."""
     p = cs.modulus
     W: list = [None] * cs.n_wires
     W[0] = 1
@@ -58,12 +63,24 @@ def solve(cs: ConstraintSystem, assignment: dict) -> list[int]:
                 acc += coeffs[cid] * v
         return acc % p, k
 
+    overrides = {}
+    if hint_overrides:
+        from .hints import hint_name
+
+        for k, v in hint_overrides.items():
+            overrides[k if isinstance(k, str) else hint_name(k)] = v
+
     for inst in cs.instructions:
         kind = inst[0]
         if kind == "hint":
             h = inst[1]
             ins = [eval_lin(e) for e in h.inputs]
-            outs = h.fn(p, ins)
+            fn = h.fn
+            if overrides:
+                from .hints import hint_name
+
+                fn = overrides.get(hint_name(fn), fn)
+            outs = fn(p, ins)
             assert len(outs) == len(h.outputs), "hint output arity mismatch"
             for w, v in zip(h.outputs, outs):
                 W[w] = int(v) % p

@@ -51,6 +51,21 @@ class R1C:
     O: list
 
 
+@dataclass
+class Groth16Commitment:
+    """BSB22 commitment metadata (gnark constraint/commitment.go:9-14).
+
+    public_and_commitment_committed: sorted wire ids of committed public
+    inputs followed by committed earlier-commitment wires; private_committed:
+    sorted wire ids of committed private/internal wires; commitment_index:
+    the wire holding the commitment challenge (the hint output)."""
+
+    public_and_commitment_committed: list
+    nb_public_committed: int
+    private_committed: list
+    commitment_index: int
+
+
 class ConstraintSystem:
     """R1CS over a prime field (SCS/Plonkish lives in scs.py)."""
 
@@ -68,6 +83,7 @@ class ConstraintSystem:
         # wire -> instruction index that defines it (solver dependency edges)
         self.wire_def: dict[int, int] = {}
         self.debug_info: list[str | None] = []
+        self.commitments: list[Groth16Commitment] = []
         self._finalized = False
 
     # ------------------------------------------------------------------ wires
@@ -168,6 +184,12 @@ class ConstraintSystem:
                 new_insts.append(inst)
         self.instructions = new_insts
         self.wire_def = {perm[w]: i for w, i in self.wire_def.items()}
+        for cm in self.commitments:
+            cm.public_and_commitment_committed = sorted(
+                perm[w] for w in cm.public_and_commitment_committed
+            )
+            cm.private_committed = sorted(perm[w] for w in cm.private_committed)
+            cm.commitment_index = perm[cm.commitment_index]
         self._wire_kind = [self._wire_kind[old] for old in ids]
         self._finalized = True
         return self

@@ -186,6 +186,54 @@ class Builder:
         self.cs.add_r1c(self._lin(b), self._lin(a), [], dbg="isZero")
         return b
 
+    # ------------------------------------------------------------- commitments
+    def commit(self, *vals) -> Var:
+        """BSB22 commitment to the wires of `vals`; returns an in-circuit
+        random-oracle challenge bound to them (gnark frontend Commit,
+        /root/reference/frontend/cs/r1cs/api.go:683 + commitment.go:15).
+
+        Committed wires are collected sorted and deduplicated; public inputs
+        are hashed by the verifier directly, private wires go into the
+        Pedersen commitment, earlier commitment wires are re-committed by
+        challenge value (like the reference). The hint output wire is
+        replaced by the real Pedersen-commit + hash-to-field at prove time."""
+        from ..constraint.hints import bsb22_placeholder
+        from ..constraint.system import Groth16Commitment
+
+        prior = {c.commitment_index for c in self.cs.commitments}
+        wires: set[int] = set()
+        for v in vals:
+            for _, vid in self._lin(v):
+                if vid != 0:  # never commit to the constant-one wire
+                    wires.add(vid)
+        # private wires already committed by an earlier commitment: commit to
+        # that commitment's wire instead (reference api.go:752-758)
+        for c in self.cs.commitments:
+            committed = set(c.private_committed)
+            overlap = wires & committed
+            if overlap:
+                wires -= overlap
+                wires.add(c.commitment_index)
+        pub = sorted(w for w in wires if self.cs._wire_kind[w] == "pub")
+        com = sorted(w for w in wires if w in prior)
+        priv = sorted(w for w in wires if self.cs._wire_kind[w] != "pub" and w not in prior)
+        if not (pub or com or priv):
+            raise ValueError("must commit to at least one variable")
+
+        idx = len(self.cs.commitments)
+        inputs = [[(self.cs.coeff_id(idx), 0)]]  # commitment depth as constant
+        inputs += [[(COEFF_ONE, w)] for w in pub + com + priv]
+        (out_w,) = self.cs.add_hint(bsb22_placeholder, inputs, 1)
+        self.cs.commitments.append(
+            Groth16Commitment(
+                public_and_commitment_committed=pub + com,
+                nb_public_committed=len(pub),
+                private_committed=priv,
+                commitment_index=out_w,
+            )
+        )
+        return Var(((COEFF_ONE, out_w),))
+
     # -------------------------------------------------------------- assertions
     def assert_is_equal(self, a, b):
         d = self.sub(a, b)
