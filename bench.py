@@ -23,6 +23,27 @@ import numpy as np
 REF_MSM_POINTS_PER_S = 2.6e6  # gnark-crypto CPU estimate (see docstring)
 REF_NTT_2_22_MS = 120.0  # gnark-crypto fft.Domain 2^22 CPU estimate
 
+# ---- speed-of-light roofline (SURVEY.md §6 mandate) -------------------------
+# The MSM hot loop is u32 VPU work (measured in-graph rate ~1.1e12 u32 op/s on
+# this chip; theoretical 8x128 lanes x ~1 op/cycle x 0.94 GHz ~ 0.96e12).
+VPU_U32_OPS_PER_S = 1.0e12
+# op counts from the kernel structure (fields/jfield.py, curves/jcurve.py):
+# one 16-limb full-word Montgomery mul ~ 3 limb products (outer 256 mul +
+# lo/hi split 512 + antidiag adds ~930) + 4 Kogge-Stone props (~600) ~ 7.8e3
+U32_OPS_PER_MONT_MUL = 7.8e3
+# complete mixed add (RCB15 alg 8): 11 muls + 2 mul_b3 + ~17 lazy add/sub
+U32_OPS_PER_MIXED_ADD = 11 * U32_OPS_PER_MONT_MUL + 17 * 1.2e3
+
+
+def msm_roofline(log2n: int, c: int, n_windows: int):
+    """Speed-of-light points/s for the sort+strip Pippenger on this chip:
+    n_windows passes of one mixed add per point (strip accumulation is the
+    dominant term; bucket compaction/weighting adds ~25%)."""
+    n = 1 << log2n
+    adds = n_windows * n * 1.25
+    t_sol = adds * U32_OPS_PER_MIXED_ADD / VPU_U32_OPS_PER_S
+    return n / t_sol
+
 
 def _rand_scalars_dev(fr, n, seed=0):
     import jax.numpy as jnp
@@ -72,11 +93,17 @@ def bench_msm(log2n: int):
         out = jax.block_until_ready(msm(points, scalars))
     dt = (time.perf_counter() - t0) / reps
     pps = n / dt
+    sol = msm_roofline(log2n, msm.c, msm.n_windows)
     return {
         "metric": f"bn254_g1_msm_2^{log2n}_points_per_s",
         "value": round(pps, 1),
         "unit": "points/s",
         "vs_baseline": round(pps / REF_MSM_POINTS_PER_S, 3),
+        # roofline: fraction of the kernel-structure speed-of-light on this
+        # chip (VPU-bound; see msm_roofline). <1.0 gap = scheduling/gather
+        # overhead; raising SOL itself needs fewer ops/add (MXU offload).
+        "sol_points_per_s": round(sol, 1),
+        "mfu_vs_sol": round(pps / sol, 3),
     }
 
 

@@ -34,7 +34,10 @@ def ref_msm_g1(points, scalars):
     return acc
 
 
-@pytest.mark.parametrize("n", [1, 2, 7, 64])
+@pytest.mark.parametrize(
+    "n",
+    [1, 2, 7, pytest.param(64, marks=pytest.mark.slow)],
+)
 def test_msm_g1_random(n):
     g = G1.generator()
     pts = [G1.mul(g, rng.randrange(1, R)) for _ in range(n)]

@@ -62,22 +62,40 @@ def plonk_artifacts():
     return cs, pk, vk, proof
 
 
+@pytest.mark.slow
 def test_plonk_e2e(plonk_artifacts):
     _, _, vk, proof = plonk_artifacts
     assert plonk.verify(proof, vk, [35])
 
 
+@pytest.mark.slow
 def test_plonk_rejects_wrong_public(plonk_artifacts):
     _, _, vk, proof = plonk_artifacts
     assert not plonk.verify(proof, vk, [36])
 
 
+@pytest.mark.slow
 def test_plonk_rejects_tampered_eval(plonk_artifacts):
     _, _, vk, proof = plonk_artifacts
-    bad = dataclasses.replace(proof, evals={**proof.evals, "l": (proof.evals["l"] + 1) % P})
+    cv = list(proof.claimed_values)
+    cv[2] = (cv[2] + 1) % P  # tamper the claimed l(zeta)
+    bad = dataclasses.replace(proof, claimed_values=cv)
     assert not plonk.verify(bad, vk, [35])
 
 
+@pytest.mark.slow
+def test_plonk_proof_marshal_roundtrip(plonk_artifacts):
+    from tpusnark.backend.plonk.marshal import proof_from_bytes, proof_to_bytes
+
+    _, _, vk, proof = plonk_artifacts
+    data = proof_to_bytes(proof)
+    # 10 compressed G1 points + fr vector (4 + 7*32) + zu (32) + bsb22 count
+    assert len(data) == 10 * 32 + 4 + 7 * 32 + 32 + 4
+    p2 = proof_from_bytes(data)
+    assert plonk.verify(p2, vk, [35])
+
+
+@pytest.mark.slow
 def test_plonk_rejects_tampered_commitment(plonk_artifacts):
     _, _, vk, proof = plonk_artifacts
     bad = dataclasses.replace(proof, z_com=vk.ql)

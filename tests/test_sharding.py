@@ -54,6 +54,7 @@ def test_sharded_msm_matches_oracle(mesh):
     assert got == msm_naive_ref(pts, scal)
 
 
+@pytest.mark.slow
 def test_sharded_msm_matches_single_chip(mesh):
     n = 128
     pts, scal = _points(n, seed=4)
@@ -114,6 +115,7 @@ def test_prove_sharded_verifies(mesh):
     assert not verify(proof, vk, [(assignment["y"] + 1) % p])
 
 
+@pytest.mark.slow
 def test_prove_sharded_awkward_wire_count(mesh):
     """Wire counts that do not align with the mesh (regression for the
     negative-pad crash, ADVICE r1 #2)."""

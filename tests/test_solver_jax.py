@@ -33,6 +33,7 @@ def test_mul_chain():
     _eq(cs, {"x": 3, "y": (pow(3, 11, P) + 3 + 5) % P})
 
 
+@pytest.mark.slow
 def test_wide_level():
     """Many independent products: one fat level exercising vectorization."""
     b = Builder(P)
@@ -47,6 +48,7 @@ def test_wide_level():
     _eq(cs, dict(vals, y=tot))
 
 
+@pytest.mark.slow
 def test_division_and_inverse():
     """Unknown-in-R (div) and unknown-in-L paths incl. batched Fermat inv."""
     b = Builder(P)

@@ -39,11 +39,15 @@ from .keys import Proof, ProvingKey, VerifyingKey
 
 
 def proof_to_bytes(proof: Proof, raw: bool = False) -> bytes:
+    """gnark proof layout (backend/groth16/bn254/marshal.go WriteTo):
+    Ar | Bs | Krs | uint32 nbCommitments | commitments... | commitmentPok."""
     eg1 = g1_raw if raw else g1_compress
     eg2 = g2_raw if raw else g2_compress
     out = eg1(proof.ar) + eg2(proof.bs) + eg1(proof.krs)
-    out += struct.pack(">I", 0)  # no BSB22 commitments
-    out += eg1(None)  # commitment PoK = infinity
+    out += struct.pack(">I", len(proof.commitments))
+    for c in proof.commitments:
+        out += eg1(c)
+    out += eg1(proof.commitment_pok if proof.commitments else None)
     return out
 
 
@@ -57,10 +61,20 @@ def proof_from_bytes(data: bytes) -> Proof:
     off += n
     (nb_comm,) = struct.unpack_from(">I", data, off)
     off += 4
+    commitments = []
     for _ in range(nb_comm):
-        _, n = g1_decode(data[off:])
+        c, n = g1_decode(data[off:])
         off += n
-    return Proof(ar=ar, krs=krs, bs=bs)
+        commitments.append(c)
+    pok, n = g1_decode(data[off:])
+    off += n
+    return Proof(
+        ar=ar,
+        krs=krs,
+        bs=bs,
+        commitments=commitments,
+        commitment_pok=pok if nb_comm else None,
+    )
 
 
 def vk_to_bytes(vk: VerifyingKey, raw: bool = False) -> bytes:

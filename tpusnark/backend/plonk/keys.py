@@ -6,13 +6,10 @@ backend/plonk/bn254/prove.go. The proving key here keeps every prover table
 device-resident (coefficient forms + 4n-coset evaluations), the TPU analog
 of gnark's in-memory trace + lazy iop basis conversions.
 
-Proof format note: this backend uses the "full opening" PLONK variant —
-the prover opens l, r, o, z, s1, s2, s3, the selectors and the quotient
-chunks at zeta (batch-folded into ONE KZG proof) plus z at omega*zeta,
-instead of gnark's linearized polynomial. Same commitments, same security
-argument, a slightly larger (constant-size) proof; chosen because the
-verifier is a plain scalar identity check. gnark-format (linearized)
-serialization is tracked as follow-up.
+Proof format: gnark's linearized-polynomial variant
+(backend/plonk/bn254/prove.go:707-836) — one batched KZG opening at zeta
+over [foldedH, linearizedPolynomial, l, r, o, s1, s2] plus the Z opening at
+omega*zeta; serialization follows gnark's marshal layout (marshal.py).
 """
 
 from __future__ import annotations
@@ -63,6 +60,13 @@ class PlonkProvingKey:
 
 @dataclass
 class PlonkProof:
+    """gnark-shape PLONK proof (reference Proof struct,
+    backend/plonk/bn254/prove.go:96-113): LRO + Z + H commitments, ONE
+    batched opening at zeta over [foldedH, linearizedPolynomial, l, r, o,
+    s1, s2] (claimed values in that order), and the Z opening at omega*zeta.
+    The linearized-polynomial variant replaces round 1's full-opening
+    protocol (VERDICT r1 #5)."""
+
     # commitments
     l_com: tuple
     r_com: tuple
@@ -71,9 +75,10 @@ class PlonkProof:
     h1_com: tuple
     h2_com: tuple
     h3_com: tuple
-    # evaluations at zeta (and z at omega*zeta)
-    evals: dict  # name -> int
-    z_omega_zeta: int
-    # KZG opening proofs
-    w_zeta: tuple
-    w_omega_zeta: tuple
+    bsb22_commitments: list
+    # batched opening at zeta (gnark BatchedProof)
+    batched_h: tuple  # KZG quotient commitment W_zeta
+    claimed_values: list  # [H(z), lin(z), l(z), r(z), o(z), s1(z), s2(z)]
+    # Z opened at omega*zeta (gnark ZShiftedOpening)
+    z_shifted_h: tuple
+    z_shifted_value: int

@@ -31,15 +31,11 @@ from .keys import PlonkProof, PlonkProvingKey
 
 _fr = get_field(BN254_FR)
 
-# fold order for the batched opening at zeta (verifier must match)
-FOLD_ORDER = (
-    "l", "r", "o", "z",
-    "s1", "s2", "s3",
-    "ql", "qr", "qm", "qo", "qc",
-    "h1", "h2", "h3",
-)
+# batched-opening order at zeta (gnark batchOpening, prove.go:777-836:
+# [foldedH, linearizedPolynomial, l, r, o, s1, s2]); verifier must match
+FOLD_ORDER = ("folded_h", "lin", "l", "r", "o", "s1", "s2")
 
-CHALLENGES = ("gamma", "beta", "alpha", "zeta", "v")
+CHALLENGES = ("gamma", "beta", "alpha", "zeta", "nu", "lambda")
 
 
 def _blind(coeffs, blinders: list[int], n: int):
@@ -162,14 +158,16 @@ def prove(
     def lin4(col, tbl):
         return f.add(f.add(col, f.mul(f.broadcast_const(bb, tbl), tbl)), gb4)
 
-    perm_num = f.mul(
+    # permutation term oriented like gnark's (verify.go:157-176 identity):
+    # z(wX)*(l+b*s1+g)(r+b*s2+g)(o+b*s3+g) - z(X)*(l+bX+g)(r+b*k1*X+g)(o+b*k2*X+g)
+    perm_zw = f.mul(
+        f.mul(f.mul(lin4(lc, s["s1"]), lin4(rc, s["s2"])), lin4(oc, s["s3"])), zwc
+    )
+    perm_z = f.mul(
         f.mul(f.mul(lin4(lc, idt["id1"]), lin4(rc, idt["id2"])), lin4(oc, idt["id3"])),
         zc,
     )
-    perm_den = f.mul(
-        f.mul(f.mul(lin4(lc, s["s1"]), lin4(rc, s["s2"])), lin4(oc, s["s3"])), zwc
-    )
-    perm = f.sub(perm_num, perm_den)
+    perm = f.sub(perm_zw, perm_z)
     l1_term = f.mul(pk.l1_coset, f.sub(zc, f.broadcast_const(f.one, zc)))
 
     a1 = f.const(alpha, mont=True)
@@ -194,47 +192,123 @@ def prove(
         tr.bind("zeta", g1_bytes(c))
     zeta = tr.challenge_int("zeta", p)
 
-    # ---- 5. evaluations at zeta (one batched Horner scan) --------------------
-    polys = {
-        "l": l_hat,
-        "r": r_hat,
-        "o": o_hat,
-        "z": z_hat,
-        "s1": pk.s_coeffs["s1"],
-        "s2": pk.s_coeffs["s2"],
-        "s3": pk.s_coeffs["s3"],
-        "ql": pk.q_coeffs["ql"],
-        "qr": pk.q_coeffs["qr"],
-        "qm": pk.q_coeffs["qm"],
-        "qo": pk.q_coeffs["qo"],
-        "qc": pk.q_coeffs["qc"],
-        "h1": h1,
-        "h2": h2,
-        "h3": h3,
-    }
-    maxm = max(v.shape[1] for v in polys.values())
-    stack = jnp.stack(
-        [jnp.pad(polys[k], ((0, 0), (0, maxm - polys[k].shape[1]))) for k in FOLD_ORDER],
-        axis=1,
-    )  # (L, K, maxm)
-    vals = kzg.eval_many_dev(stack, zeta)
-    evals = {k: v for k, v in zip(FOLD_ORDER, vals)}
+    # ---- 5. linearized polynomial (gnark computeLinearizedPolynomial,
+    # prove.go:707-836) ---------------------------------------------------------
+    from ...curves.ref import G1
+
+    m2 = n + 2
+    zeta_m2 = pow(zeta, m2, p)
     omega_zeta = zeta * vk.generator % p
-    z_omega_zeta = kzg.eval_many_dev(z_hat.reshape(f.n, 1, -1), omega_zeta)[0]
 
-    # ---- 6. fold + open -------------------------------------------------------
-    for k in FOLD_ORDER:
-        tr.bind("v", fr_bytes(evals[k]))
-    tr.bind("v", fr_bytes(z_omega_zeta))
-    v = tr.challenge_int("v", p)
+    # foldedH = h1 + zeta^(n+2) h2 + zeta^(2(n+2)) h3 (coefficient form)
+    zm = f.const(zeta_m2, mont=True)
+    zm2 = f.const(zeta_m2 * zeta_m2 % p, mont=True)
+    folded_h = f.add(
+        h1,
+        f.add(
+            f.mul(f.broadcast_const(zm, h2), h2),
+            f.mul(f.broadcast_const(zm2, h3), h3),
+        ),
+    )
 
-    vpows = [pow(v, i, p) for i in range(len(FOLD_ORDER))]
-    vp = f.array(vpows).reshape(f.n, len(FOLD_ORDER), 1)
-    folded = f.sum(f.mul(stack, vp), axis=1)  # (L, maxm)
-    q_poly, _ = kzg.div_by_linear_dev(folded, zeta)
-    w_zeta = kzg.commit_dev(pk.srs, f.from_mont(q_poly))
+    # evaluations at zeta of the blinded wires and s1, s2 + zu at omega*zeta
+    def pad_to(x, m):
+        return jnp.pad(x, ((0, 0), (0, m - x.shape[1])))
+
+    maxm = z_hat.shape[1]
+    eval_stack = jnp.stack(
+        [
+            pad_to(l_hat, maxm),
+            pad_to(r_hat, maxm),
+            pad_to(o_hat, maxm),
+            pad_to(pk.s_coeffs["s1"], maxm),
+            pad_to(pk.s_coeffs["s2"], maxm),
+            pad_to(folded_h, maxm),
+        ],
+        axis=1,
+    )
+    lb, rb, ob, s1b, s2b, fhb = kzg.eval_many_dev(eval_stack, zeta)
+    zu = kzg.eval_many_dev(z_hat.reshape(f.n, 1, -1), omega_zeta)[0]
+
+    # scalar weights of the linearized polynomial
+    l1_zeta = (
+        (pow(zeta, n, p) - 1)
+        * pow(n * (zeta - 1) % p, -1, p)
+        % p
+    )
+    s3_scal = (
+        alpha
+        * zu
+        % p
+        * beta
+        % p
+        * ((lb + beta * s1b + gamma) % p)
+        % p
+        * ((rb + beta * s2b + gamma) % p)
+        % p
+    )
+    z_scal = (
+        -alpha
+        * ((lb + beta * zeta + gamma) % p)
+        * ((rb + beta * vk.k1 % p * zeta + gamma) % p)
+        % p
+        * ((ob + beta * vk.k2 % p * zeta + gamma) % p)
+        + alpha * alpha % p * l1_zeta
+    ) % p
+    rl = lb * rb % p
+
+    lin_stack = jnp.stack(
+        [
+            pad_to(pk.q_coeffs["ql"], maxm),
+            pad_to(pk.q_coeffs["qr"], maxm),
+            pad_to(pk.q_coeffs["qm"], maxm),
+            pad_to(pk.q_coeffs["qo"], maxm),
+            pad_to(pk.q_coeffs["qc"], maxm),
+            pad_to(pk.s_coeffs["s3"], maxm),
+            pad_to(z_hat, maxm),
+        ],
+        axis=1,
+    )
+    wts = f.array([lb, rb, rl, ob, 1, s3_scal, z_scal]).reshape(f.n, 7, 1)
+    lin = f.sum(f.mul(lin_stack, wts), axis=1)  # (L, maxm)
+    lin_zeta = kzg.eval_many_dev(lin.reshape(f.n, 1, -1), zeta)[0]
+    lin_com = kzg.commit_dev(pk.srs, f.from_mont(lin))
+
+    # folded H digest (host, 2 tiny scalar muls — verifier recomputes it)
+    folded_h_com = G1.add(
+        h1_com,
+        G1.add(G1.mul(h2_com, zeta_m2), G1.mul(h3_com, zeta_m2 * zeta_m2 % p)),
+    )
+
+    # ---- 6. batched opening at zeta + Z at omega*zeta -------------------------
+    claimed = [fhb, lin_zeta, lb, rb, ob, s1b, s2b]
+    digests = [folded_h_com, lin_com, l_com, r_com, o_com, vk.s1, vk.s2]
+    for d in digests:
+        tr.bind("nu", g1_bytes(d))
+    for c in claimed:
+        tr.bind("nu", fr_bytes(c))
+    tr.bind("nu", fr_bytes(zu))
+    nu = tr.challenge_int("nu", p)
+
+    open_stack = jnp.stack(
+        [
+            pad_to(folded_h, maxm),
+            pad_to(lin, maxm),
+            pad_to(l_hat, maxm),
+            pad_to(r_hat, maxm),
+            pad_to(o_hat, maxm),
+            pad_to(pk.s_coeffs["s1"], maxm),
+            pad_to(pk.s_coeffs["s2"], maxm),
+        ],
+        axis=1,
+    )
+    nupows = [pow(nu, i, p) for i in range(len(FOLD_ORDER))]
+    np_ = f.array(nupows).reshape(f.n, len(FOLD_ORDER), 1)
+    folded_poly = f.sum(f.mul(open_stack, np_), axis=1)
+    q_poly, _ = kzg.div_by_linear_dev(folded_poly, zeta)
+    batched_h = kzg.commit_dev(pk.srs, f.from_mont(q_poly))
     q2, _ = kzg.div_by_linear_dev(z_hat, omega_zeta)
-    w_omega_zeta = kzg.commit_dev(pk.srs, f.from_mont(q2))
+    z_shifted_h = kzg.commit_dev(pk.srs, f.from_mont(q2))
 
     return PlonkProof(
         l_com=l_com,
@@ -244,8 +318,9 @@ def prove(
         h1_com=h1_com,
         h2_com=h2_com,
         h3_com=h3_com,
-        evals=evals,
-        z_omega_zeta=z_omega_zeta,
-        w_zeta=w_zeta,
-        w_omega_zeta=w_omega_zeta,
+        bsb22_commitments=[],
+        batched_h=batched_h,
+        claimed_values=claimed,
+        z_shifted_h=z_shifted_h,
+        z_shifted_value=zu,
     )

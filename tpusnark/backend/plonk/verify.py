@@ -1,15 +1,19 @@
-"""PLONK verifier.
+"""PLONK verifier, gnark protocol shape.
 
-Reference shape: /root/reference/backend/plonk/bn254/verify.go:45-... —
-re-derive the Fiat-Shamir challenges, check the quotient identity at zeta,
-then the batched KZG pairing checks. This backend uses the full-opening
-variant (see keys.py): the identity check is a plain scalar equation over
-the claimed evaluations, bound to the commitments by two KZG openings.
+Reference being reproduced: /root/reference/backend/plonk/bn254/verify.go:45-280 —
+re-derive the Fiat-Shamir challenges, evaluate the public-input polynomial at
+zeta, check the claimed quotient against the linearization identity,
+reconstruct the linearized-polynomial commitment by a small MSM over the vk
+commitments + proof points, fold the batched opening, and finish with one
+2-pairing multi-point KZG check.
+
+(Challenge hashing is this framework's SHA-256 transcript — structure matches
+gnark, byte-exact gnark transcripts are follow-up work; see utils/transcript.)
 """
 
 from __future__ import annotations
 
-from ...curves.ref import R
+from ...curves.ref import G1, R
 from ...poly import kzg
 from ...utils.transcript import Transcript, fr_bytes, g1_bytes
 from .keys import PlonkProof, PlonkVerifyingKey
@@ -29,8 +33,10 @@ def verify(proof: PlonkProof, vk: PlonkVerifyingKey, public_inputs: list[int]) -
         raise InvalidPlonkProofError(
             f"wrong number of public inputs: got {len(pubs)}, want {vk.n_public}"
         )
+    if len(proof.claimed_values) != len(FOLD_ORDER):
+        return False
 
-    # ---- re-derive challenges ------------------------------------------------
+    # ---- re-derive challenges (binding order must match the prover) ----------
     tr = Transcript(list(CHALLENGES))
     for pt in vk.digest_points():
         tr.bind("gamma", g1_bytes(pt))
@@ -45,87 +51,114 @@ def verify(proof: PlonkProof, vk: PlonkVerifyingKey, public_inputs: list[int]) -
     for c in (proof.h1_com, proof.h2_com, proof.h3_com):
         tr.bind("zeta", g1_bytes(c))
     zeta = tr.challenge_int("zeta", p)
-    e = dict(proof.evals)
-    for k in FOLD_ORDER:
-        tr.bind("v", fr_bytes(e[k]))
-    tr.bind("v", fr_bytes(proof.z_omega_zeta))
-    v = tr.challenge_int("v", p)
 
-    # ---- public-input polynomial at zeta --------------------------------------
+    fhb, lin_zeta, lb, rb, ob, s1b, s2b = [v % p for v in proof.claimed_values]
+    zu = proof.z_shifted_value % p
+
+    # ---- public input polynomial + L1 at zeta ---------------------------------
     zh = (pow(zeta, n, p) - 1) % p
     if zh == 0:
         raise InvalidPlonkProofError("zeta landed in the domain")
     n_inv = pow(n, -1, p)
+    l1_zeta = zh * n_inv % p * pow((zeta - 1) % p, -1, p) % p
     pi = 0
     wi = 1
     for x in pubs:
-        # L_i(zeta) = w^i (zeta^n - 1) / (n (zeta - w^i))
         li = wi * zh % p * n_inv % p * pow((zeta - wi) % p, -1, p) % p
         pi = (pi + x * li) % p
         wi = wi * w % p
-    l1 = zh * n_inv % p * pow((zeta - 1) % p, -1, p) % p
 
-    # ---- quotient identity at zeta --------------------------------------------
-    lb, rb, ob, zb = e["l"], e["r"], e["o"], e["z"]
-    gate = (
-        e["ql"] * lb + e["qr"] * rb + e["qm"] * lb * rb + e["qo"] * ob + e["qc"] + pi
+    # ---- claimed quotient vs linearization identity (verify.go:157-193) ------
+    # lin(z) + pi(z) + a*zu*(l+b*s1+g)(r+b*s2+g)(o+g) - a^2*L1(z) == H(z)*(z^n-1)
+    perm_const = (
+        alpha
+        * zu
+        % p
+        * ((lb + beta * s1b + gamma) % p)
+        % p
+        * ((rb + beta * s2b + gamma) % p)
+        % p
+        * ((ob + gamma) % p)
+        % p
+    )
+    lhs = (lin_zeta + pi + perm_const - alpha * alpha % p * l1_zeta) % p
+    if lhs != zh * fhb % p:
+        return False
+
+    # ---- reconstruct commitments (verify.go:196-246) ---------------------------
+    m2 = n + 2
+    zeta_m2 = pow(zeta, m2, p)
+    folded_h_com = G1.add(
+        proof.h1_com,
+        G1.add(
+            G1.mul(proof.h2_com, zeta_m2),
+            G1.mul(proof.h3_com, zeta_m2 * zeta_m2 % p),
+        ),
+    )
+    s3_scal = (
+        alpha
+        * zu
+        % p
+        * beta
+        % p
+        * ((lb + beta * s1b + gamma) % p)
+        % p
+        * ((rb + beta * s2b + gamma) % p)
+        % p
+    )
+    z_scal = (
+        -alpha
+        * ((lb + beta * zeta + gamma) % p)
+        * ((rb + beta * vk.k1 % p * zeta + gamma) % p)
+        % p
+        * ((ob + beta * vk.k2 % p * zeta + gamma) % p)
+        + alpha * alpha % p * l1_zeta
     ) % p
-    num = (
-        (lb + beta * zeta + gamma)
-        * (rb + beta * vk.k1 * zeta + gamma)
-        % p
-        * ((ob + beta * vk.k2 * zeta + gamma) % p)
-        % p
-        * zb
-        % p
-    )
-    den = (
-        (lb + beta * e["s1"] + gamma)
-        * (rb + beta * e["s2"] + gamma)
-        % p
-        * ((ob + beta * e["s3"] + gamma) % p)
-        % p
-        * proof.z_omega_zeta
-        % p
-    )
-    perm = (num - den) % p
-    lhs = (gate + alpha * perm + alpha * alpha % p * (l1 * (zb - 1) % p)) % p
-    m = n + 2
-    zm = pow(zeta, m, p)
-    rhs = zh * ((e["h1"] + zm * e["h2"] + zm * zm % p * e["h3"]) % p) % p
-    if lhs != rhs:
-        return False
+    rl = lb * rb % p
+    lin_com = None
+    for pt, s in (
+        (vk.ql, lb),
+        (vk.qr, rb),
+        (vk.qm, rl),
+        (vk.qo, ob),
+        (vk.qc, 1),
+        (vk.s3, s3_scal),
+        (proof.z_com, z_scal),
+    ):
+        if pt is None or s % p == 0:
+            continue
+        lin_com = G1.add(lin_com, G1.mul(pt, s % p))
 
-    # ---- KZG checks ------------------------------------------------------------
-    srs_v = kzg.SRS(g1=[], g2=vk.g2)
-    coms = {
-        "l": proof.l_com,
-        "r": proof.r_com,
-        "o": proof.o_com,
-        "z": proof.z_com,
-        "s1": vk.s1,
-        "s2": vk.s2,
-        "s3": vk.s3,
-        "ql": vk.ql,
-        "qr": vk.qr,
-        "qm": vk.qm,
-        "qo": vk.qo,
-        "qc": vk.qc,
-        "h1": proof.h1_com,
-        "h2": proof.h2_com,
-        "h3": proof.h3_com,
-    }
-    ok = kzg.batch_verify_single_point(
-        srs_v,
-        [coms[k] for k in FOLD_ORDER],
-        zeta,
-        [e[k] for k in FOLD_ORDER],
-        proof.w_zeta,
-        v,
-    )
-    if not ok:
-        return False
+    # ---- fold the batched opening (same nu binding as the prover) -------------
+    claimed = [fhb, lin_zeta, lb, rb, ob, s1b, s2b]
+    digests = [folded_h_com, lin_com, proof.l_com, proof.r_com, proof.o_com, vk.s1, vk.s2]
+    for d in digests:
+        tr.bind("nu", g1_bytes(d))
+    for c in claimed:
+        tr.bind("nu", fr_bytes(c))
+    tr.bind("nu", fr_bytes(zu))
+    nu = tr.challenge_int("nu", p)
+
+    folded_digest = None
+    folded_value = 0
+    ch = 1
+    for d, v in zip(digests, claimed):
+        if d is not None:
+            folded_digest = G1.add(folded_digest, G1.mul(d, ch))
+        folded_value = (folded_value + ch * v) % p
+        ch = ch * nu % p
+
+    # ---- one multi-point batch pairing check (verify.go:262-278) --------------
+    tr.bind("lambda", fr_bytes(folded_value))
+    tr.bind("lambda", fr_bytes(zu))
+    lam = tr.challenge_int("lambda", p)
     omega_zeta = zeta * w % p
-    return kzg.verify_opening(
-        srs_v, proof.z_com, omega_zeta, proof.z_omega_zeta, proof.w_omega_zeta
+    srs_v = kzg.SRS(g1=[], g2=vk.g2)
+    return kzg.batch_verify_multi_points(
+        srs_v,
+        [
+            (folded_digest, zeta, folded_value, proof.batched_h),
+            (proof.z_com, omega_zeta, zu, proof.z_shifted_h),
+        ],
+        lam,
     )

@@ -66,6 +66,12 @@ def fuse(fn, lanes: int = LANE_BUDGET):
     except Exception:  # pragma: no cover
         vmem = None
 
+    # (shapes, dtypes) -> (jaxpr, consts2d, const_shapes): re-tracing fn for
+    # every call site is wasteful when a graph calls the same op dozens of
+    # times at one shape (the 22 unrolled NTT stages); identical jaxprs also
+    # keep the Mosaic kernel hash identical so the backend compiles it once.
+    trace_cache: dict = {}
+
     @functools.wraps(fn)
     def wrapped(*args):
         if jax.default_backend() != "tpu":
@@ -94,18 +100,26 @@ def fuse(fn, lanes: int = LANE_BUDGET):
         tile_sds = [
             jax.ShapeDtypeStruct(x.shape[:-1] + (tile,), x.dtype) for x in flat_in
         ]
-        token = IN_PALLAS.set(True)
-        try:
-            cj = jax.make_jaxpr(flat_fn)(*tile_sds)
-        finally:
-            IN_PALLAS.reset(token)
-        consts = [jnp.asarray(c) for c in cj.consts]
-        # TPU refs want >= 2D. 1-D consts get a TRAILING unit dim so the
-        # data sits on sublanes: (n,1)->(n,)->(n,1,..) broadcasts are
-        # layout-trivial for Mosaic, (1,n)->(n,..) would be a lane->sublane
-        # transpose it refuses to lower.
-        consts2d = [c.reshape(c.shape + (1,) * max(0, 2 - c.ndim)) for c in consts]
-        const_shapes = [c.shape for c in consts]
+        ckey = tuple((s.shape, str(s.dtype)) for s in tile_sds)
+        cached = trace_cache.get(ckey)
+        if cached is None:
+            token = IN_PALLAS.set(True)
+            try:
+                cj = jax.make_jaxpr(flat_fn)(*tile_sds)
+            finally:
+                IN_PALLAS.reset(token)
+            consts = [jnp.asarray(c) for c in cj.consts]
+            # TPU refs want >= 2D. 1-D consts get a TRAILING unit dim so the
+            # data sits on sublanes: (n,1)->(n,)->(n,1,..) broadcasts are
+            # layout-trivial for Mosaic, (1,n)->(n,..) would be a lane->sublane
+            # transpose it refuses to lower.
+            consts2d = [
+                c.reshape(c.shape + (1,) * max(0, 2 - c.ndim)) for c in consts
+            ]
+            const_shapes = [c.shape for c in consts]
+            trace_cache[ckey] = (cj, consts2d, const_shapes)
+        else:
+            cj, consts2d, const_shapes = cached
 
         kw = {"memory_space": vmem} if vmem is not None else {}
 

@@ -32,6 +32,15 @@ class Builder:
         self.cs = ConstraintSystem(modulus)
         self.p = modulus
         self._booleans: set = set()  # vids known boolean (dedup constraint)
+        self._deferred: list = []  # compile-time callbacks (gnark Defer)
+        self.kv: dict = {}  # gadget-shared state (gnark internal/kvstore)
+
+    def defer_(self, fn):
+        """Register fn(api) to run at compile() before finalize (gnark
+        frontend Compiler.Defer, frontend/compile.go:133 callDeferred —
+        used by lookup tables and the range checker to emit their closing
+        argument once all queries are known)."""
+        self._deferred.append(fn)
 
     # ----------------------------------------------------------------- inputs
     def public(self, name: str) -> Var:
@@ -289,4 +298,10 @@ class Builder:
 
     # ---------------------------------------------------------------- finalize
     def compile(self) -> ConstraintSystem:
+        # run deferred callbacks; a callback may defer more (gnark loops the
+        # same way over the growing list, frontend/compile.go:133)
+        i = 0
+        while i < len(self._deferred):
+            self._deferred[i](self)
+            i += 1
         return self.cs.finalize()

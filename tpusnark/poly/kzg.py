@@ -175,6 +175,26 @@ def verify_opening(srs: SRS, commitment, z: int, value: int, proof) -> bool:
     return pairing_check([(lhs, srs.g2[0]), (G1.neg(proof), srs.g2[1])])
 
 
+def batch_verify_multi_points(srs: SRS, entries: list, lam: int) -> bool:
+    """Verify several KZG openings (commitment, point, value, proofH) with
+    one 2-pairing check (gnark-crypto kzg.BatchVerifyMultiPoints):
+      F  = sum lam^i (C_i - v_i*G + z_i*H_i),  Hf = sum lam^i H_i
+      e(F, G2) == e(Hf, tau*G2)."""
+    F = None
+    Hf = None
+    ch = 1
+    for c, z, v, h in entries:
+        t = G1.add(c, G1.neg(G1.mul(G1.generator(), v)))
+        if h is not None:
+            t = G1.add(t, G1.mul(h, z))
+            Hf = G1.add(Hf, G1.mul(h, ch))
+        F = G1.add(F, G1.mul(t, ch))
+        ch = ch * lam % R
+    if Hf is None:
+        return F is None
+    return pairing_check([(F, srs.g2[0]), (G1.neg(Hf), srs.g2[1])])
+
+
 def batch_verify_single_point(
     srs: SRS, commitments: list, z: int, values: list[int], proof, fold_challenge: int
 ) -> bool:
