@@ -16,14 +16,23 @@ Either way, the config override below pins the test process to CPU.
 import os
 import sys
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+# TPU tier (TPUSNARK_TPU_TESTS=1): run ON the real chip — do NOT pin to CPU.
+# Run it single-process: `TPUSNARK_TPU_TESTS=1 python -m pytest tests -m tpu -n0 -q`.
+# Default tier: virtual 8-device CPU mesh, tpu-marked tests skipped.
+TPU_TIER = bool(os.environ.get("TPUSNARK_TPU_TESTS"))
+
+if not TPU_TIER:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
 import jax  # noqa: E402  (sitecustomize may already have imported it)
 
-jax.config.update("jax_platforms", "cpu")
+if not TPU_TIER:
+    jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -39,7 +48,27 @@ import pytest  # noqa: E402
 # marker and run when TPUSNARK_SLOW_TESTS=1.
 
 
+def pytest_configure(config):
+    if TPU_TIER and getattr(config.option, "numprocesses", None):
+        # one chip: parallel xdist workers contend for the TPU and serialize
+        # anyway (while double-paying compile); force in-process execution
+        config.option.numprocesses = 0
+        config.option.dist = "no"
+
+
 def pytest_collection_modifyitems(config, items):
+    if TPU_TIER:
+        # chip tier: ONLY tpu-marked tests (everything else is covered by the
+        # CPU tiers and would just burn chip time)
+        skip_nontpu = pytest.mark.skip(reason="TPU tier runs only tpu-marked tests")
+        for item in items:
+            if "tpu" not in item.keywords:
+                item.add_marker(skip_nontpu)
+        return
+    skip_tpu = pytest.mark.skip(reason="needs the real chip (TPUSNARK_TPU_TESTS=1)")
+    for item in items:
+        if "tpu" in item.keywords:
+            item.add_marker(skip_tpu)
     if os.environ.get("TPUSNARK_SLOW_TESTS"):
         return
     skip = pytest.mark.skip(reason="slow tier (set TPUSNARK_SLOW_TESTS=1)")

@@ -126,3 +126,35 @@ def test_commit_placeholder_y_rejected_by_prover():
     assert y_placeholder != y_real
     with pytest.raises(UnsatisfiedConstraintError):
         groth16.prove(cs, pk, {"x": x, "pub": pub, "y": y_placeholder}, rng=_rng(9))
+
+
+def test_commit_key_serialization_roundtrip():
+    """pk/vk bytes for a commitment circuit must carry the Pedersen keys and
+    committed-index lists (reference marshal.go:104-117,255-290); restored
+    keys must prove AND verify (round 2 silently dropped them)."""
+    from tpusnark.backend.groth16.marshal import (
+        pk_from_bytes,
+        pk_to_bytes,
+        vk_from_bytes,
+        vk_to_bytes,
+    )
+
+    b = _commit_circuit()
+    cs = b.compile()
+    x, pub = 4, 9
+    pk, vk, y = _solve_y(cs, x, pub)
+
+    vk2 = vk_from_bytes(vk_to_bytes(vk))
+    assert vk2.commitment_key is not None
+    assert vk2.commitment_key.g2 == vk.commitment_key.g2
+    assert vk2.commitment_key.g2_sigma_neg == vk.commitment_key.g2_sigma_neg
+    assert vk2.public_and_commitment_committed == vk.public_and_commitment_committed
+
+    pk2 = pk_from_bytes(pk_to_bytes(pk))
+    assert len(pk2.commitment_keys) == 1
+    assert pk2.commitment_keys[0].basis == pk.commitment_keys[0].basis
+    assert pk2.commitment_keys[0].basis_exp_sigma == pk.commitment_keys[0].basis_exp_sigma
+
+    # restored keys prove + verify end-to-end
+    proof = groth16.prove(cs, pk2, {"x": x, "pub": pub, "y": y}, rng=_rng(9))
+    assert groth16.verify(proof, vk2, [pub, y])

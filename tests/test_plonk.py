@@ -89,8 +89,9 @@ def test_plonk_proof_marshal_roundtrip(plonk_artifacts):
 
     _, _, vk, proof = plonk_artifacts
     data = proof_to_bytes(proof)
-    # 10 compressed G1 points + fr vector (4 + 7*32) + zu (32) + bsb22 count
-    assert len(data) == 10 * 32 + 4 + 7 * 32 + 32 + 4
+    # 9 compressed G1 points (LRO, Z, H0-2, batched H, Z-shifted H; reference
+    # marshal.go:43-56) + fr vector (4 + 7*32) + zu (32) + bsb22 count
+    assert len(data) == 9 * 32 + 4 + 7 * 32 + 32 + 4
     p2 = proof_from_bytes(data)
     assert plonk.verify(p2, vk, [35])
 

@@ -87,7 +87,17 @@ def vk_to_bytes(vk: VerifyingKey, raw: bool = False) -> bytes:
     out += struct.pack(">I", len(vk.k))
     for pt in vk.k:
         out += eg1(pt)
-    out += struct.pack(">I", 0)  # publicAndCommitmentCommitted: empty
+    # publicAndCommitmentCommitted as [][]uint64 (gnark-crypto encoder layout:
+    # u32 outer len, then per row u32 len + u64 entries; marshal.go:154-159)
+    out += struct.pack(">I", len(vk.public_and_commitment_committed))
+    for row in vk.public_and_commitment_committed:
+        out += struct.pack(">I", len(row))
+        for v in row:
+            out += struct.pack(">Q", int(v))
+    # pedersen VerifyingKey ALWAYS follows (marshal.go:100-104): two G2
+    # points (G, GRootSigmaNeg), infinity-encoded when no commitments exist
+    ck = vk.commitment_key
+    out += eg2(ck.g2 if ck else None) + eg2(ck.g2_sigma_neg if ck else None)
     return out
 
 
@@ -112,6 +122,24 @@ def vk_from_bytes(data: bytes) -> VerifyingKey:
         pt, n = g1_decode(data[off:])
         off += n
         k.append(pt)
+    (nrows,) = struct.unpack_from(">I", data, off)
+    off += 4
+    pacc = []
+    for _ in range(nrows):
+        (m,) = struct.unpack_from(">I", data, off)
+        off += 4
+        row = [struct.unpack_from(">Q", data, off + 8 * i)[0] for i in range(m)]
+        off += 8 * m
+        pacc.append(row)
+    ck_g2, n = g2_decode(data[off:])
+    off += n
+    ck_g2_sigma_neg, n = g2_decode(data[off:])
+    off += n
+    commitment_key = None
+    if ck_g2 is not None or ck_g2_sigma_neg is not None:
+        from ...curves.pedersen import PedersenVerifyingKey
+
+        commitment_key = PedersenVerifyingKey(g2=ck_g2, g2_sigma_neg=ck_g2_sigma_neg)
     return VerifyingKey(
         alpha_g1=alpha,
         beta_g2=beta_g2,
@@ -120,6 +148,8 @@ def vk_from_bytes(data: bytes) -> VerifyingKey:
         k=k,
         beta_g1=beta_g1,
         delta_g1=delta_g1,
+        commitment_key=commitment_key,
+        public_and_commitment_committed=pacc,
     )
 
 
@@ -184,7 +214,11 @@ def pk_to_bytes(pk: ProvingKey, raw: bool = False) -> bytes:
     out += struct.pack(">Q", sum(inf_a))  # NbInfinityA
     out += struct.pack(">Q", sum(inf_b))
     out += _bools_to_bytes(inf_a) + _bools_to_bytes(inf_b)
-    out += struct.pack(">I", 0)  # no commitment keys (BSB22 pending)
+    # pedersen ProvingKeys (marshal.go:277-290): u32 count, then per key
+    # Basis ([]G1: u32 len + points) and BasisExpSigma
+    out += struct.pack(">I", len(pk.commitment_keys))
+    for ck in pk.commitment_keys:
+        out += pts_g1(ck.basis) + pts_g1(ck.basis_exp_sigma)
     return out
 
 
@@ -225,7 +259,17 @@ def pk_from_bytes(data: bytes) -> ProvingKey:
     inf_a, off = _bools_from_bytes(data, off)
     inf_b, off = _bools_from_bytes(data, off)
     (nb_ck,) = struct.unpack_from(">I", data, off)
-    assert nb_ck == 0, "commitment keys not supported yet"
+    off += 4
+    commitment_keys = []
+    if nb_ck:
+        from ...curves.pedersen import PedersenProvingKey
+
+        for _ in range(nb_ck):
+            basis = dec_g1_list()
+            basis_exp_sigma = dec_g1_list()
+            commitment_keys.append(
+                PedersenProvingKey(basis=basis, basis_exp_sigma=basis_exp_sigma)
+            )
 
     def unfilter(filtered, mask):
         it = iter(filtered)
@@ -243,4 +287,5 @@ def pk_from_bytes(data: bytes) -> ProvingKey:
         k=k,
         z=z,
         domain_n=int(n),
+        commitment_keys=commitment_keys,
     )

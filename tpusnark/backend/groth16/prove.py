@@ -21,7 +21,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ...constraint.eval_jax import ABCEvaluator
-from ...constraint.solver import solve
 from ...constraint.system import ConstraintSystem
 from ...curves import ref
 from ...curves.encoding import g1_from_device_proj, g2_from_device_proj
@@ -114,28 +113,52 @@ def prove(cs: ConstraintSystem, pk: ProvingKey, assignment: dict, rng=None) -> P
 
         overrides = {bsb22_placeholder: bsb22_real}
 
-    W = solve(cs, assignment, hint_overrides=overrides)
+    # Solve on device for wide level structures, host for serial chains
+    # (solve_any's minWorkPerCPU-style heuristic; reference
+    # /root/reference/constraint/bn254/solver.go:418-524). The device path
+    # keeps W resident: A/B/C come straight from the solver's bulk check and
+    # the MSM scalar vector is one on-device from_mont, no host round trip.
+    from ...constraint.solver_jax import solve_any
+
+    w_mont, abc, W = solve_any(cs, assignment, BN254_FR, hint_overrides=overrides)
     n = pk.domain_n
+
+    def wire_ints(idxs: list[int]) -> list[int]:
+        if W is not None:
+            return [int(W[i]) for i in idxs]
+        cols = w_mont[:, np.asarray(idxs, dtype=np.int32)]
+        return _fr.to_ints(_fr.canon(cols), mont=True)
 
     pok = None
     if n_com:
         seeds = b"".join(
-            int(W[cm.commitment_index]).to_bytes(32, "big") for cm in cs.commitments
+            int(v).to_bytes(32, "big")
+            for v in wire_ints([cm.commitment_index for cm in cs.commitments])
         )
         pok = pedersen_batch_prove(pk.commitment_keys, private_vals, seeds)
 
-    w_mont = jnp.asarray(_fr.spec.encode(W, mont=True).T.copy())
-    A, B, C = _abc_eval(cs)(w_mont)
+    if W is not None:
+        w_mont = jnp.asarray(_fr.spec.encode(W, mont=True).T.copy())
+        A, B, C = _abc_eval(cs)(w_mont)
+        w_dev = _scalars_dev(W)
+    else:
+        A, B, C = abc
+        w_dev = _fr.from_mont(w_mont)
     h_dev = compute_h_dev(A, B, C, n)
 
     dev = pk.device()
     msm_g1, msm_g2 = _engines(cs.n_wires)
+    k_wires = pk.k_wires
+    if k_wires is None and cs.commitments:
+        # deserialized pk: the bytes don't carry the wire mapping (nor do
+        # gnark's — it lives in the CS); reconstruct it
+        from .setup import k_pk_wires_for
 
-    w_dev = _scalars_dev(W)
-    if pk.k_wires is not None:
+        k_wires = k_pk_wires_for(cs)
+    if k_wires is not None:
         # committed/commitment wires are excluded from pk.K (their K lives in
         # the Pedersen basis / vk); gather the backing wires explicitly
-        priv_dev = w_dev[:, np.asarray(pk.k_wires, dtype=np.int32)]
+        priv_dev = w_dev[:, np.asarray(k_wires, dtype=np.int32)]
     else:
         priv_dev = w_dev[:, cs.n_public :]
 

@@ -121,6 +121,21 @@ def _g2_many(scalars: list[int], use_device: bool):
     return g2_from_device_proj(mul(table, sc))
 
 
+def k_pk_wires_for(cs: ConstraintSystem) -> list[int]:
+    """Wire ids backing pk.K: private wires minus BSB22 commitment wires and
+    committed wires (whose K points live in the Pedersen basis / vk instead;
+    reference setup.go:163-197). Identity order. Used by setup, and by prove
+    to reconstruct the mapping for a deserialized pk (gnark keeps this info
+    in the CS, not the pk bytes)."""
+    cw_set = {c.commitment_index for c in cs.commitments}
+    committed = {w for cm in cs.commitments for w in cm.private_committed}
+    return [
+        w
+        for w in range(cs.n_public, cs.n_wires)
+        if w not in cw_set and w not in committed
+    ]
+
+
 def dummy_setup(cs: ConstraintSystem, use_device: bool = True):
     """ProvingKey with the right shapes but meaningless values — for
     benchmarking the prover without a trusted setup (reference DummySetup,
@@ -172,11 +187,7 @@ def setup(cs: ConstraintSystem, rng=None, use_device: bool = True):
     k_vk_s = [k_at(w, gamma_inv) for w in range(npub)]
     k_vk_s += [k_at(w, gamma_inv) for w in sorted(cw_set)]
     ck_s = [[k_at(w, gamma_inv) for w in cm.private_committed] for cm in cs.commitments]
-    k_pk_wires = [
-        w
-        for w in range(npub, cs.n_wires)
-        if w not in cw_set and w not in committed_of
-    ]
+    k_pk_wires = k_pk_wires_for(cs)
     k_pk_s = [k_at(w, delta_inv) for w in k_pk_wires]
     zt = (pow(t, n, p) - 1) % p
     z_s = []

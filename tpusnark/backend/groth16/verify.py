@@ -31,8 +31,11 @@ def verify(proof: Proof, vk: VerifyingKey, public_inputs: list[int]) -> bool:
     for pt in (proof.ar, proof.krs):
         if not G1.on_curve(pt):
             raise InvalidProofError("proof point not on curve")
-    if not G2.on_curve(proof.bs):
-        raise InvalidProofError("proof point not on curve")
+    # Full subgroup check on Bs, even for in-memory proof objects: BN254 G2
+    # cofactor != 1, and the reference checks inside Verify itself
+    # (/root/reference/backend/groth16/bn254/verify.go:61), not only at decode.
+    if not G2.in_subgroup(proof.bs):
+        raise InvalidProofError("proof point not in G2 subgroup")
 
     # BSB22 (reference verify.go:76-108): recompute each commitment's
     # challenge from the proof's commitment point + committed public values,

@@ -37,7 +37,11 @@ class PlonkVerifyingKey:
     g2: tuple  # (G2, tau*G2)
 
     def digest_points(self) -> list:
-        return [self.ql, self.qr, self.qm, self.qo, self.qc, self.s1, self.s2, self.s3]
+        """Points bound to "gamma", in gnark's bindPublicData order
+        (/root/reference/backend/plonk/bn254/verify.go:296-341): the
+        permutation commitments S1,S2,S3 first, then the coefficient
+        commitments Ql,Qr,Qm,Qo,Qk (Qcp would follow)."""
+        return [self.s1, self.s2, self.s3, self.ql, self.qr, self.qm, self.qo, self.qc]
 
 
 @dataclass

@@ -49,7 +49,7 @@ def proof_from_bytes(data: bytes) -> PlonkProof:
 
     def pt():
         nonlocal o
-        p = g1_decode(data[o : o + 32])
+        p, _ = g1_decode(data[o : o + 32])
         o += 32
         return p
 

@@ -26,7 +26,7 @@ from ...fields.jfield import get_field
 from ...fields.spec import BN254_FR
 from ...poly import kzg
 from ...poly.ntt import get_ntt
-from ...utils.transcript import Transcript, fr_bytes, g1_bytes
+from ...utils.transcript import Transcript, fr_bytes, g1_bytes, kzg_fold_challenge
 from .keys import PlonkProof, PlonkProvingKey
 
 _fr = get_field(BN254_FR)
@@ -35,7 +35,10 @@ _fr = get_field(BN254_FR)
 # [foldedH, linearizedPolynomial, l, r, o, s1, s2]); verifier must match
 FOLD_ORDER = ("folded_h", "lin", "l", "r", "o", "s1", "s2")
 
-CHALLENGES = ("gamma", "beta", "alpha", "zeta", "nu", "lambda")
+# gnark's main transcript registers exactly these four (prove.go:243); the
+# KZG batch-opening fold challenge lives in its own fresh transcript
+# (utils.transcript.kzg_fold_challenge), NOT here.
+CHALLENGES = ("gamma", "beta", "alpha", "zeta")
 
 
 def _blind(coeffs, blinders: list[int], n: int):
@@ -283,12 +286,9 @@ def prove(
     # ---- 6. batched opening at zeta + Z at omega*zeta -------------------------
     claimed = [fhb, lin_zeta, lb, rb, ob, s1b, s2b]
     digests = [folded_h_com, lin_com, l_com, r_com, o_com, vk.s1, vk.s2]
-    for d in digests:
-        tr.bind("nu", g1_bytes(d))
-    for c in claimed:
-        tr.bind("nu", fr_bytes(c))
-    tr.bind("nu", fr_bytes(zu))
-    nu = tr.challenge_int("nu", p)
+    # gnark kzg.BatchOpenSinglePoint fold challenge: fresh transcript over
+    # (zeta, digests, claimed values, Z(omega*zeta) bytes) — prove.go:823-833
+    nu = kzg_fold_challenge(zeta, digests, claimed, [fr_bytes(zu)], p)
 
     open_stack = jnp.stack(
         [

@@ -129,15 +129,14 @@ def verify(proof: PlonkProof, vk: PlonkVerifyingKey, public_inputs: list[int]) -
             continue
         lin_com = G1.add(lin_com, G1.mul(pt, s % p))
 
-    # ---- fold the batched opening (same nu binding as the prover) -------------
+    # ---- fold the batched opening (gnark kzg.FoldProof: fresh "gamma"
+    # transcript over zeta || digests || claimed values || zu bytes, same
+    # derivation as the prover's BatchOpenSinglePoint) -------------------------
+    from ...utils.transcript import kzg_fold_challenge
+
     claimed = [fhb, lin_zeta, lb, rb, ob, s1b, s2b]
     digests = [folded_h_com, lin_com, proof.l_com, proof.r_com, proof.o_com, vk.s1, vk.s2]
-    for d in digests:
-        tr.bind("nu", g1_bytes(d))
-    for c in claimed:
-        tr.bind("nu", fr_bytes(c))
-    tr.bind("nu", fr_bytes(zu))
-    nu = tr.challenge_int("nu", p)
+    nu = kzg_fold_challenge(zeta, digests, claimed, [fr_bytes(zu)], p)
 
     folded_digest = None
     folded_value = 0
@@ -149,9 +148,10 @@ def verify(proof: PlonkProof, vk: PlonkVerifyingKey, public_inputs: list[int]) -
         ch = ch * nu % p
 
     # ---- one multi-point batch pairing check (verify.go:262-278) --------------
-    tr.bind("lambda", fr_bytes(folded_value))
-    tr.bind("lambda", fr_bytes(zu))
-    lam = tr.challenge_int("lambda", p)
+    # The fold scalar is verifier-LOCAL randomness sampled inside
+    # batch_verify_multi_points after the whole proof is fixed (gnark-crypto
+    # BatchVerifyMultiPoints does the same) — a transcript-derived lambda the
+    # prover can predict without binding batched_h/z_shifted_h is forgeable.
     omega_zeta = zeta * w % p
     srs_v = kzg.SRS(g1=[], g2=vk.g2)
     return kzg.batch_verify_multi_points(
@@ -160,5 +160,4 @@ def verify(proof: PlonkProof, vk: PlonkVerifyingKey, public_inputs: list[int]) -
             (folded_digest, zeta, folded_value, proof.batched_h),
             (proof.z_com, omega_zeta, zu, proof.z_shifted_h),
         ],
-        lam,
     )

@@ -186,9 +186,13 @@ class LevelSolver:
         return jax.jit(run)
 
     # ----------------------------------------------------------------- solve
-    def solve(self, assignment: dict):
+    def solve(self, assignment: dict, hint_overrides: dict | None = None):
         """-> (L, n_wires) Montgomery device wire vector. Raises
-        UnsatisfiedConstraintError on an unsatisfied constraint."""
+        UnsatisfiedConstraintError on an unsatisfied constraint.
+
+        hint_overrides: {hint fn or name -> replacement}, the prover's
+        OverrideHint seam (same contract as solver.solve) — BSB22 needs it
+        (/root/reference/backend/groth16/bn254/prove.go:84)."""
         cs, f = self.cs, self.f
         p = cs.modulus
         init = [0] * (cs.n_wires + 1)
@@ -202,6 +206,13 @@ class LevelSolver:
                 raise KeyError(f"missing secret input {name!r}")
             init[cs.n_public + j] = int(assignment[name]) % p
         W = jnp.asarray(f.spec.encode(init, mont=True).T.copy())
+
+        overrides = {}
+        if hint_overrides:
+            from .hints import hint_name
+
+            for k, v in hint_overrides.items():
+                overrides[k if isinstance(k, str) else hint_name(k)] = v
 
         for plan in self.plans:
             if plan.nI:
@@ -223,13 +234,22 @@ class LevelSolver:
                     jnp.asarray(plan.targets),
                 )
             if plan.hints:
-                W = self._run_hints(W, plan.hints)
+                W = self._run_hints(W, plan.hints, overrides)
 
         W = W[:, : cs.n_wires]
         self._check(W)
         return W
 
-    def _run_hints(self, W, hints):
+    def solve_with_abc(self, assignment: dict, hint_overrides: dict | None = None):
+        """Like solve(), but also returns the per-constraint (A, B, C)
+        Montgomery evaluations computed during the satisfaction check — the
+        Groth16 prover needs exactly these, so recomputing them would double
+        the biggest gather of the prove (reference fills a/b/c during the
+        solve too, /root/reference/constraint/bn254/solver.go:532)."""
+        W = self.solve(assignment, hint_overrides)
+        return W, self._last_abc
+
+    def _run_hints(self, W, hints, overrides):
         """One host sync for all of a level's hints."""
         cs, f = self.cs, self.f
         rows, cids, vids = [], [], []
@@ -257,8 +277,11 @@ class LevelSolver:
         out_wires, out_vals = [], []
         off = 0
         p = self.cs.modulus
+        if overrides:
+            from .hints import hint_name
         for h, n_in in metas:
-            outs = h.fn(p, [vals[off + i] for i in range(n_in)])
+            fn = overrides.get(hint_name(h.fn), h.fn) if overrides else h.fn
+            outs = fn(p, [vals[off + i] for i in range(n_in)])
             off += n_in
             assert len(outs) == len(h.outputs), "hint output arity mismatch"
             out_wires.extend(h.outputs)
@@ -268,10 +291,9 @@ class LevelSolver:
 
     def _check(self, W):
         """Bulk satisfaction check: A_i*B_i == C_i for every constraint."""
-        from .eval_jax import ABCEvaluator
-
         ev = _abc_cache(self.cs, self.f)
         A, B, C = ev(W)
+        self._last_abc = (A, B, C)
         bad = np.asarray(~self.f.eq(self.f.mul(A, B), C))
         if bad.any():
             idx = int(np.argmax(bad))
@@ -310,3 +332,45 @@ def solve_jax_ints(cs: ConstraintSystem, assignment: dict, spec: FieldSpec) -> l
     f = get_field(spec)
     W = solve_jax(cs, assignment, spec)
     return f.to_ints(f.canon(W), mont=True)
+
+
+# ---- host/device picker ------------------------------------------------------
+# Like gnark's minWorkPerCPU=50 split (/root/reference/constraint/bn254/
+# solver.go:422): below this mean level width, per-level dispatch overhead
+# (one device program + host sync per level) dominates and the serial host
+# solver wins. Above it the vectorized level kernels win by orders of
+# magnitude at 2^17+ constraints.
+MIN_MEAN_LEVEL_WIDTH = 64
+MIN_TOTAL_INSTRUCTIONS = 4096
+
+
+def prefer_device(cs: ConstraintSystem) -> bool:
+    """Shape heuristic: device-solve iff the level structure is wide enough
+    to amortize per-level dispatch (the mul-chain worst case — every level
+    one instruction — stays on host)."""
+    cs.finalize()
+    levels = cs.compute_levels()
+    n_inst = sum(len(l) for l in levels)
+    if n_inst < MIN_TOTAL_INSTRUCTIONS or not levels:
+        return False
+    return n_inst / len(levels) >= MIN_MEAN_LEVEL_WIDTH
+
+
+def solve_any(
+    cs: ConstraintSystem,
+    assignment: dict,
+    spec: FieldSpec,
+    hint_overrides: dict | None = None,
+):
+    """Solve on device when the level shape favors it, else on host.
+
+    Returns (W_mont_dev | None, abc | None, W_ints | None): exactly one of
+    W_mont_dev / W_ints is set; abc rides along on the device path (the
+    Groth16 prover consumes it directly)."""
+    if prefer_device(cs):
+        ls = get_level_solver(cs, spec)
+        W, abc = ls.solve_with_abc(assignment, hint_overrides)
+        return W, abc, None
+    from .solver import solve as solve_host
+
+    return None, None, solve_host(cs, assignment, hint_overrides=hint_overrides)

@@ -24,8 +24,9 @@ def _g2_subgroup_check(pt) -> bool:
     pairing soundness assumptions — gnark-crypto's SetBytes subgroup-checks
     by default and skips it only for trusted key material (io.UnsafeReaderFrom,
     /root/reference/io/io.go:35-40). Host-side decode, so the plain [r]P == O
-    check is fine (~1ms)."""
-    return G2.mul(pt, R) is None
+    check is fine (~1ms). NOTE: must NOT be G2.mul(pt, R) — mul reduces the
+    scalar mod r, so that would be mul by zero and vacuously pass."""
+    return G2.in_subgroup(pt)
 
 M_MASK = 0b11 << 6
 M_UNCOMPRESSED = 0b00 << 6

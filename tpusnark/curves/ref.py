@@ -401,6 +401,25 @@ class G2:
         return y.square() == x.square() * x + B2
 
     @staticmethod
+    def in_subgroup(p1) -> bool:
+        """r-torsion membership: [r]P == O, WITHOUT the mod-r scalar
+        reduction G2.mul applies (mul(P, r) would be mul by 0 and vacuously
+        pass). BN254 G2 has cofactor != 1 so on-curve does not imply
+        subgroup (reference checks inside Verify,
+        /root/reference/backend/groth16/bn254/verify.go:61)."""
+        if p1 is None:
+            return True
+        if not G2.on_curve(p1):
+            return False
+        res, base, k = None, p1, R
+        while k:
+            if k & 1:
+                res = G2.add(res, base)
+            base = G2.double(base)
+            k >>= 1
+        return res is None
+
+    @staticmethod
     def generator():
         return (Fp2(*G2_GEN[0]), Fp2(*G2_GEN[1]))
 

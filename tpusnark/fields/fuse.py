@@ -36,6 +36,7 @@ import math
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 tree = jax.tree_util
 
@@ -108,7 +109,21 @@ def fuse(fn, lanes: int = LANE_BUDGET):
                 cj = jax.make_jaxpr(flat_fn)(*tile_sds)
             finally:
                 IN_PALLAS.reset(token)
-            consts = [jnp.asarray(c) for c in cj.consts]
+            # Consts MUST be host numpy, never jnp: the first call at a tile
+            # shape may happen inside a live scan/fori_loop body trace, where
+            # jnp.asarray() returns a tracer of that trace — caching it and
+            # reusing it from a different trace is a tracer escape (this broke
+            # every on-chip path in round 2). np.asarray of a genuine tracer
+            # fails loudly instead; numpy arrays are trace-invariant and get
+            # lifted fresh into whatever trace each pallas_call runs under.
+            for c in cj.consts:
+                if isinstance(c, jax.core.Tracer):
+                    raise TypeError(
+                        "fuse: kernel jaxpr closed over a tracer constant — "
+                        "the fused fn must only capture host/device constants, "
+                        f"got {c!r}"
+                    )
+            consts = [np.asarray(c) for c in cj.consts]
             # TPU refs want >= 2D. 1-D consts get a TRAILING unit dim so the
             # data sits on sublanes: (n,1)->(n,)->(n,1,..) broadcasts are
             # layout-trivial for Mosaic, (1,n)->(n,..) would be a lane->sublane

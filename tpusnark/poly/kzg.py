@@ -175,11 +175,21 @@ def verify_opening(srs: SRS, commitment, z: int, value: int, proof) -> bool:
     return pairing_check([(lhs, srs.g2[0]), (G1.neg(proof), srs.g2[1])])
 
 
-def batch_verify_multi_points(srs: SRS, entries: list, lam: int) -> bool:
+def batch_verify_multi_points(srs: SRS, entries: list, lam: int | None = None) -> bool:
     """Verify several KZG openings (commitment, point, value, proofH) with
     one 2-pairing check (gnark-crypto kzg.BatchVerifyMultiPoints):
       F  = sum lam^i (C_i - v_i*G + z_i*H_i),  Hf = sum lam^i H_i
-      e(F, G2) == e(Hf, tau*G2)."""
+      e(F, G2) == e(Hf, tau*G2).
+
+    lam defaults to fresh verifier-local randomness, sampled AFTER the proof
+    is fixed — exactly gnark-crypto's discipline. A Fiat-Shamir lam that the
+    prover can predict without binding the H_i quotient points is forgeable:
+    the prover solves for H2 with H2(z2)=Q(z2)/(lam*(z2-z1)) and passes the
+    combined check with false claimed values."""
+    if lam is None:
+        import secrets
+
+        lam = secrets.randbelow(R - 1) + 1
     F = None
     Hf = None
     ch = 1

@@ -1,14 +1,33 @@
-"""Fiat-Shamir transcript (SHA-256), mirroring gnark-crypto's
-fiatshamir.Transcript discipline as used by the reference PLONK prover
-(/root/reference/backend/plonk/bn254/prove.go:243 registers the challenges
-"gamma", "beta", "alpha", "zeta"; each challenge hashes every binding made
-since the previous challenge plus the previous challenge value).
+"""gnark-crypto byte-exact Fiat-Shamir transcript.
 
-Challenge bytes are reduced mod r into fr. Point binding uses the canonical
-uncompressed big-endian (x || y) encoding (32+32 bytes for G1), infinity as
-64 zero bytes — a stable wire format for self-consistent prove/verify.
-(Bit-exact gnark transcript compatibility — their marshaling + hash-to-field
-— is tracked as follow-up work; the transcript structure matches.)
+Re-implements gnark-crypto's ``fiatshamir.Transcript`` byte discipline, as
+used by the reference PLONK prover/verifier
+(/root/reference/backend/plonk/bn254/prove.go:243 registers the challenges
+"gamma","beta","alpha","zeta"; binding order in
+backend/plonk/bn254/verify.go:296-365) with the default SHA-256 challenge
+hash (/root/reference/backend/backend.go:71-75):
+
+  challenge_value = H( challengeID_bytes
+                       || previous_challenge_value   (if not the first)
+                       || bindings_concatenated )
+
+* bindings are raw concatenated bytes in Bind() order, no length framing
+* each challenge hashes the PREVIOUS challenge's 32-byte value (chaining)
+* the challenge name is written FIRST as a domain separator
+* challenges must be computed in registration order; a computed challenge
+  is immutable and rebinding it is an error
+* fr mapping is big-endian bytes reduced mod r (gnark fr.Element.SetBytes)
+
+Point bindings use gnark-crypto's ``Marshal()`` == ``RawBytes()``:
+uncompressed big-endian X||Y (64 bytes for G1), flag bits 0b00, the point at
+infinity all-zero — see curves/marshal.py (g1_raw/g2_raw).
+
+The KZG batch-opening fold challenge is NOT part of the main transcript:
+gnark-crypto's ``kzg.BatchOpenSinglePoint`` derives it from a FRESH
+one-challenge transcript named "gamma" over the KZGFoldingHash (default
+SHA-256), binding point || digests || claimed values || extra data — see
+:func:`kzg_fold_challenge` (reference call site:
+/root/reference/backend/plonk/bn254/prove.go:823-833).
 """
 
 from __future__ import annotations
@@ -29,7 +48,7 @@ class Transcript:
         self._bindings[challenge].append(bytes(data))
 
     def compute(self, challenge: str) -> bytes:
-        """SHA256(name || prev_challenge || bindings...)."""
+        """SHA256(name || prev_challenge_value || bindings...)."""
         if challenge in self._values:
             return self._values[challenge]
         idx = self._order[challenge]
@@ -49,10 +68,32 @@ class Transcript:
 
 
 def fr_bytes(x: int) -> bytes:
+    """fr.Element.Marshal(): canonical 32-byte big-endian."""
     return int(x).to_bytes(32, "big")
 
 
 def g1_bytes(pt) -> bytes:
-    if pt is None:
-        return b"\x00" * 64
-    return int(pt[0]).to_bytes(32, "big") + int(pt[1]).to_bytes(32, "big")
+    """G1Affine.Marshal() == RawBytes(): X||Y big-endian, infinity = zeros
+    (gnark-crypto v0.12 bn254 layout; single source: curves/marshal.g1_raw)."""
+    from ..curves.marshal import g1_raw
+
+    return g1_raw(pt)
+
+
+def kzg_fold_challenge(
+    point: int, digests: list, claimed_values: list[int], extra: list[bytes], r: int
+) -> int:
+    """gnark-crypto kzg.deriveGamma: a fresh single-challenge transcript
+    "gamma" binding point.Marshal() || each digest.Marshal() || each claimed
+    value.Marshal() || extra transcript data, hashed with the KZGFoldingHash
+    (default SHA-256). Used by BatchOpenSinglePoint / FoldProof on both
+    sides, so prover and verifier MUST call this with identical arguments."""
+    tr = Transcript(["gamma"])
+    tr.bind("gamma", fr_bytes(point))
+    for d in digests:
+        tr.bind("gamma", g1_bytes(d))
+    for v in claimed_values:
+        tr.bind("gamma", fr_bytes(v))
+    for e in extra:
+        tr.bind("gamma", e)
+    return tr.challenge_int("gamma", r)
