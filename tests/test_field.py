@@ -117,3 +117,30 @@ def test_jit_and_vmap_compose():
     got = f.to_ints(fused(a, b))
     want = [((x + y) * (x - y)) % p for x, y in zip(xs, ys)]
     assert got == want
+
+
+def test_mxu_const_mul_path_exact():
+    """The MXU constant-multiply variant of Montgomery phases 2/3
+    (jfield._const_mul_cols_mxu: exact bf16 band-matrix matmuls) must be
+    bit-identical to the integer path on every spec. On TPU it runs inside
+    every fused kernel (IN_PALLAS); here we force it under XLA:CPU."""
+    import numpy as np
+
+    from tpusnark.fields import jfield
+    from tpusnark.fields.spec import BN254_FP, BN254_FR, TINY
+
+    for spec in (BN254_FR, BN254_FP, TINY):
+        f = jfield.get_field(spec)
+        p = spec.modulus
+        rng = np.random.default_rng(11)
+        xs = [int(x) % p for x in rng.integers(0, 2**63, size=128)] + [0, 1, p - 1]
+        ys = [int(x) % p for x in rng.integers(0, 2**63, size=128)] + [p - 1, 0, 1]
+        a, b = f.array(xs), f.array(ys)
+        tok = jfield.FORCE_MXU_CONST_MUL.set(True)
+        try:
+            got = f.to_ints(f.mul(a, b))
+            got_fm = f.to_ints(f.from_mont(a), mont=False)
+        finally:
+            jfield.FORCE_MXU_CONST_MUL.reset(tok)
+        assert got == [x * y % p for x, y in zip(xs, ys)]
+        assert [g % p for g in got_fm] == [x % p for x in xs]

@@ -58,6 +58,42 @@ def _u32(x: int) -> np.uint32:
     return np.uint32(x & 0xFFFFFFFF)
 
 
+# Trace-time switch for the MXU constant-multiply path outside Pallas (CPU
+# unit tests force it; inside kernels IN_PALLAS gates it).
+FORCE_MXU_CONST_MUL = contextvars.ContextVar("tpusnark_force_mxu", default=False)
+
+
+def _const_band_mats(c: int, n: int, n_out16: int):
+    """Even/odd band matrices of the host constant c for the MXU
+    multiply-by-constant (see Field._const_mul_cols_mxu).
+
+    c8 = base-2^8 little-endian digits of c (2n of them). Row r of the input
+    is the r-th 8-bit digit of x (weight 2^(8r)); output base-2^8 column m
+    of x*c is sum_r x8[r] * c8[m - r]. We emit base-2^16 columns directly:
+      M_ev[k, r] = c8[2k - r]       (8-bit column 2k)
+      M_od[k, r] = c8[2k + 1 - r]   (8-bit column 2k+1, weighted 2^8 later)
+    Entries < 2^8 are exact in bf16; the MXU accumulates in f32, and the
+    sums stay < 2n * 255^2 < 2^21 < 2^24, so the matmul is EXACT."""
+    n8 = 2 * n
+    c8 = [(c >> (8 * j)) & 0xFF for j in range(n8)]
+    ev = np.zeros((n_out16, n8), dtype=np.float32)
+    od = np.zeros((n_out16, n8), dtype=np.float32)
+    for k in range(n_out16):
+        for r in range(n8):
+            j = 2 * k - r
+            if 0 <= j < n8:
+                ev[k, r] = c8[j]
+            j += 1
+            if 0 <= j < n8:
+                od[k, r] = c8[j]
+    import jax.numpy as _jnp
+
+    return (
+        np.asarray(ev, dtype=_jnp.bfloat16),
+        np.asarray(od, dtype=_jnp.bfloat16),
+    )
+
+
 class Field:
     """JAX limb arithmetic bound to one FieldSpec. All ops are pure jnp.
 
@@ -98,6 +134,16 @@ class Field:
         sub_cols[0] += 1
         self._sub_const = jnp.asarray(sub_cols.astype(np.uint32))
         self._fused: dict = {}
+        # --- MXU constant-multiply matrices (see _const_mul_cols_mxu) -----
+        # Montgomery phases 2 (m = t_lo * P' mod R) and 3 (m * p) multiply by
+        # HOST CONSTANTS; a multiply-by-constant over limbs is a matmul with
+        # a constant band matrix, which the MXU does for free while the VPU
+        # does the expensive data*data phase 1. Stored as numpy (trace-safe
+        # for the fuse kernel const path); bf16 8-bit digits are exact.
+        self._mxu_mats = {
+            "pprime_low": _const_band_mats(spec.pprime_full, n, n),
+            "p_full": _const_band_mats(p, n, 2 * n),
+        }
 
     # ------------------------------------------------------------------ utils
     def const(self, x: int, mont: bool = False) -> jnp.ndarray:
@@ -167,7 +213,7 @@ class Field:
 
     @staticmethod
     def _prop(s):
-        """Full carry propagation of u32 columns s (m, *batch), each < 2^22.
+        """Full carry propagation of u32 columns s (m, *batch), any u32 value.
 
         Returns (limbs (m,*batch) u32 < 2^16, carry_out (*batch,) u32).
         One pre-pass folds multi-bit carries (cols < 2^22 -> < 2^17), then a
@@ -301,6 +347,40 @@ class Field:
         thi_full = jnp.concatenate([jnp.zeros_like(thi[:1]), thi], axis=0)
         return tlo_full + thi_full
 
+    # ----------------------------------------------- MXU constant multiply
+    def _const_mul_cols_mxu(self, a, key: str):
+        """u32 columns of a * C for a HOST CONSTANT C, via two exact bf16
+        MXU matmuls (band matrices built in _const_band_mats).
+
+        a: (n, *batch) 16-bit limbs. Returns (n_out16, *batch) u32 columns
+        < 2^30 (out8 < 2^21, odd column shifted by 8). Offloads Montgomery
+        phases 2 and 3 — ~60% of the VPU work of a full-word mul — to the
+        otherwise-idle MXU; phase 1 (data*data) stays on the VPU."""
+        import math
+
+        n = self.n
+        M_ev, M_od = self._mxu_mats[key]
+        batch = a.shape[1:]
+        # 16-bit limbs -> interleaved 8-bit rows [x0_lo, x0_hi, x1_lo, ...]
+        a8 = jnp.stack([a & jnp.uint32(0xFF), a >> jnp.uint32(8)], axis=1)
+        a8 = a8.reshape((2 * n,) + batch)
+        a8f = a8.astype(jnp.int32).astype(jnp.float32).astype(jnp.bfloat16)
+        flat = a8f.reshape(2 * n, math.prod(batch) if batch else 1)
+        dn = (((1,), (0,)), ((), ()))
+        ev = jax.lax.dot_general(
+            jnp.asarray(M_ev), flat, dn, preferred_element_type=jnp.float32
+        )
+        od = jax.lax.dot_general(
+            jnp.asarray(M_od), flat, dn, preferred_element_type=jnp.float32
+        )
+        ev = ev.astype(jnp.int32).astype(jnp.uint32)
+        od = od.astype(jnp.int32).astype(jnp.uint32)
+        cols = ev + (od << jnp.uint32(8))
+        return cols.reshape((M_ev.shape[0],) + batch)
+
+    def _use_mxu(self) -> bool:
+        return IN_PALLAS.get() or FORCE_MXU_CONST_MUL.get()
+
     # Auto-fuse threshold: above this many batch lanes the plain-XLA mul's
     # materialized intermediates (the (n,n,*batch) outer product and its f32
     # lo/hi copies — ~6 GB at batch 2^20 for 16 limbs) dominate; route the op
@@ -343,12 +423,19 @@ class Field:
         t = self._limb_mul_cols(a, b)  # (2n, *batch) columns < 2^21
         # m = (T mod R) * P' mod R  (P' = -p^-1 mod R)
         t_lo_limbs, _ = self._prop(t[:n])  # mod R: drop the out-carry
-        ppr = self.broadcast_const(self._pprime_limbs, a)
-        m_cols = self._limb_mul_cols(t_lo_limbs, ppr, low_only=True)
+        use_mxu = self._use_mxu()
+        if use_mxu:
+            m_cols = self._const_mul_cols_mxu(t_lo_limbs, "pprime_low")
+        else:
+            ppr = self.broadcast_const(self._pprime_limbs, a)
+            m_cols = self._limb_mul_cols(t_lo_limbs, ppr, low_only=True)
         m_limbs, _ = self._prop(m_cols)  # mod R
-        # S = T + m*p  (columns < 2^22); S mod R == 0; result = S / R
-        p_arr = self.broadcast_const(self._p_limbs_arr, a)
-        mp = self._limb_mul_cols(m_limbs, p_arr)
+        # S = T + m*p  (columns < 2^31); S mod R == 0; result = S / R
+        if use_mxu:
+            mp = self._const_mul_cols_mxu(m_limbs, "p_full")
+        else:
+            p_arr = self.broadcast_const(self._p_limbs_arr, a)
+            mp = self._limb_mul_cols(m_limbs, p_arr)
         s = t + mp
         _, carry = self._prop(s[:n])  # low half is all zeros mod R
         # (concatenate, not .at[0].add: scatter has no Pallas TPU lowering)
@@ -373,11 +460,16 @@ class Field:
         represents zero — harmless: decode reduces mod p, and as an MSM
         scalar over fr, r*P is the identity anyway)."""
         n = self.n
-        ppr = self.broadcast_const(self._pprime_limbs, a)
-        m_cols = self._limb_mul_cols(a, ppr, low_only=True)
-        m_limbs, _ = self._prop(m_cols)
-        p_arr = self.broadcast_const(self._p_limbs_arr, a)
-        mp = self._limb_mul_cols(m_limbs, p_arr)
+        if self._use_mxu():
+            m_cols = self._const_mul_cols_mxu(a, "pprime_low")
+            m_limbs, _ = self._prop(m_cols)
+            mp = self._const_mul_cols_mxu(m_limbs, "p_full")
+        else:
+            ppr = self.broadcast_const(self._pprime_limbs, a)
+            m_cols = self._limb_mul_cols(a, ppr, low_only=True)
+            m_limbs, _ = self._prop(m_cols)
+            p_arr = self.broadcast_const(self._p_limbs_arr, a)
+            mp = self._limb_mul_cols(m_limbs, p_arr)
         s = jnp.concatenate([mp[:n] + a, mp[n:]], axis=0)
         _, carry = self._prop(s[:n])
         hi = jnp.concatenate([s[n : n + 1] + carry[None], s[n + 1 :]], axis=0)
