@@ -35,31 +35,54 @@ class PlonkVerifyingKey:
     s3: tuple
     # KZG verification points
     g2: tuple  # (G2, tau*G2)
+    # BSB22 (reference setup.go:90-107): qcp selector commitments + the
+    # challenge-injection rows (pre-public-offset, gnark convention)
+    qcp: list = field(default_factory=list)
+    commitment_constraint_indexes: list = field(default_factory=list)
 
     def digest_points(self) -> list:
         """Points bound to "gamma", in gnark's bindPublicData order
         (/root/reference/backend/plonk/bn254/verify.go:296-341): the
         permutation commitments S1,S2,S3 first, then the coefficient
-        commitments Ql,Qr,Qm,Qo,Qk (Qcp would follow)."""
-        return [self.s1, self.s2, self.s3, self.ql, self.qr, self.qm, self.qo, self.qc]
+        commitments Ql,Qr,Qm,Qo,Qk, then Qcp."""
+        return [
+            self.s1,
+            self.s2,
+            self.s3,
+            self.ql,
+            self.qr,
+            self.qm,
+            self.qo,
+            self.qc,
+        ] + list(self.qcp)
 
 
 @dataclass
 class PlonkProvingKey:
+    """Prover tables. The quotient runs gnark's rho-loop (computeNumerator,
+    reference prove.go:980-1045): the numerator is evaluated one size-n
+    coset slice at a time, so the PK stores only size-n coefficient forms
+    plus 4 slice-scale vectors — peak memory O(n), never O(4n x columns)."""
+
     vk: PlonkVerifyingKey
     srs: object  # kzg.SRS
     domain_n: int
     # device tables, (L, n) Montgomery coefficient forms
     q_coeffs: dict  # name -> (L, n)
     s_coeffs: dict  # "s1"/"s2"/"s3" -> (L, n)
-    # device tables, (L, 4n) Montgomery coset evaluations
-    q_coset: dict
-    s_coset: dict
-    id_coset: dict  # "id1"/"id2"/"id3" -> (L, 4n): x, k1 x, k2 x on coset
-    l1_coset: object  # (L, 4n): first Lagrange poly on coset
-    zh_inv_coset: object  # (L, 4n): 1/(x^n - 1) on coset
+    # rho-loop slice tables: coset_scale[r][i] = (shift * w4^r)^i, (L, n)
+    coset_scale: list = None
+    omega_pows: object = None  # (L, n) Montgomery powers of the n-th root
+    slice_shift: list = None  # host ints s_r = shift * w4^r
+    slice_xn: list = None  # host ints s_r^n (x^n is constant per slice)
     # permutation values on H as ints (for the grand product):
-    s_evals_int: dict  # "s1"/"s2"/"s3" -> list[int] length n
+    s_evals_int: dict = None  # "s1"/"s2"/"s3" -> list[int] length n
+    # BSB22 qcp selector tables, one per commitment
+    qcp_coeffs: list = None  # [(L, n) Montgomery coefficient forms]
+
+    def __post_init__(self):
+        if self.qcp_coeffs is None:
+            self.qcp_coeffs = []
 
 
 @dataclass

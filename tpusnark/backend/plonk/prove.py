@@ -73,8 +73,44 @@ def prove(
     ntt_n = get_ntt(BN254_FR, n)
     ntt_4n = get_ntt(BN254_FR, 4 * n)
 
+    # ---- 0. BSB22 commitments: the prover-side hint override computes the
+    # REAL committed polynomial P_i (values at committed rows + blinding at
+    # two qcp=0 rows), KZG-commits it, and derives the challenge by
+    # hash-to-field of the commitment bytes (reference bsb22Hint,
+    # prove.go:316-352; DST "BSB22-Plonk", backend.go:231-233) ----------------
+    n_com = len(cs.commitments)
+    bsb22_points: list = [None] * n_com
+    bsb22_vals: list = [0] * n_com
+    c_coeffs: list = [None] * n_com  # canonical coefficient forms of P_i
+    overrides = None
+    if n_com:
+        from ...constraint.hints import bsb22_placeholder
+        from ...curves.marshal import g1_raw
+        from ...utils.hash_to_field import hash_to_field
+
+        def bsb22_real(pm, ins):
+            depth = int(ins[0])
+            cm = cs.commitments[depth]
+            vals = [int(v) % p for v in ins[1:]]
+            evals = [0] * n
+            for r, v in zip(cm.committed, vals):
+                evals[cs.n_public + r] = v
+            # blinding at two qcp=0 rows: the commitment-injection row and
+            # the last constraint row (prove.go:329-334)
+            evals[cs.n_public + cm.commitment_index] = rand()
+            evals[cs.n_gates - 1] = rand()
+            coeffs = ntt_n.intt(f.array(evals))
+            c_coeffs[depth] = coeffs
+            pt = kzg.commit_dev(pk.srs, f.from_mont(coeffs))
+            bsb22_points[depth] = pt
+            (ch,) = hash_to_field(g1_raw(pt), b"BSB22-Plonk", p)
+            bsb22_vals[depth] = ch
+            return [ch]
+
+        overrides = {bsb22_placeholder: bsb22_real}
+
     # ---- 1. solve + wire columns -------------------------------------------
-    W = solve_scs(cs, assignment)
+    W = solve_scs(cs, assignment, hint_overrides=overrides)
     pubs = W[: cs.n_public]
     pad = n - cs.n_gates
     l_e = [W[g.xa] for g in cs.gates] + [0] * pad
@@ -127,62 +163,101 @@ def prove(
     z_hat = _blind(z_c, [rand(), rand(), rand()], n)
     z_com = kzg.commit_dev(pk.srs, f.from_mont(z_hat))
 
+    # deriveAlpha binds the Bsb22 commitments FIRST, then Z (prove.go:504-512)
+    for pt in bsb22_points:
+        tr.bind("alpha", g1_bytes(pt))
     tr.bind("alpha", g1_bytes(z_com))
     alpha = tr.challenge_int("alpha", p)
 
-    # ---- 4. quotient t on the 4n coset --------------------------------------
-    def coset4(coeffs):
-        return ntt_4n.ntt_coset(
-            jnp.pad(coeffs, ((0, 0), (0, 4 * n - coeffs.shape[1])))
-        )
-
-    lc = coset4(l_hat)
-    rc = coset4(r_hat)
-    oc = coset4(o_hat)
-    zc = coset4(z_hat)
-    # z(omega X): scale coeff i by omega^i
+    # ---- 4. quotient t via the rho-loop (gnark computeNumerator,
+    # prove.go:980-1045): evaluate the numerator one size-n coset slice at a
+    # time — slice r covers the 4n-coset points with index j == r (mod 4),
+    # i.e. the coset (shift*w4^r)*H. Peak memory is O(n) per slice (plus the
+    # single (L, 4n) result), never O(4n x columns) ---------------------------
+    # z(omega X): scale coeff i by omega^i (slice-independent)
     wpow = f.array([pow(vk.generator, i, p) for i in range(z_hat.shape[1])])
-    zwc = coset4(f.mul(z_hat, wpow))
-    # public-input polynomial on the coset
+    zw_hat = f.mul(z_hat, wpow)
+    # public-input polynomial; the prover completes it with the BSB22
+    # challenge at each commitment-injection row (qk completion,
+    # reference prove.go:415-416)
     pi_evals = pubs + [0] * (n - len(pubs))
-    pic = coset4(ntt_n.intt(f.array(pi_evals)))
-
-    q = pk.q_coset
-    s = pk.s_coset
-    idt = pk.id_coset
-    gate = f.add(
-        f.add(f.mul(q["ql"], lc), f.mul(q["qr"], rc)),
-        f.add(f.mul(q["qm"], f.mul(lc, rc)), f.add(f.mul(q["qo"], oc), q["qc"])),
-    )
-    gate = f.add(gate, pic)
-
-    gb4 = f.broadcast_const(f.const(gamma, mont=True), lc)
-
-    def lin4(col, tbl):
-        return f.add(f.add(col, f.mul(f.broadcast_const(bb, tbl), tbl)), gb4)
-
-    # permutation term oriented like gnark's (verify.go:157-176 identity):
-    # z(wX)*(l+b*s1+g)(r+b*s2+g)(o+b*s3+g) - z(X)*(l+bX+g)(r+b*k1*X+g)(o+b*k2*X+g)
-    perm_zw = f.mul(
-        f.mul(f.mul(lin4(lc, s["s1"]), lin4(rc, s["s2"])), lin4(oc, s["s3"])), zwc
-    )
-    perm_z = f.mul(
-        f.mul(f.mul(lin4(lc, idt["id1"]), lin4(rc, idt["id2"])), lin4(oc, idt["id3"])),
-        zc,
-    )
-    perm = f.sub(perm_zw, perm_z)
-    l1_term = f.mul(pk.l1_coset, f.sub(zc, f.broadcast_const(f.one, zc)))
+    for i, cm in enumerate(cs.commitments):
+        pi_evals[cs.n_public + cm.commitment_index] = bsb22_vals[i]
+    pi_hat = ntt_n.intt(f.array(pi_evals))
 
     a1 = f.const(alpha, mont=True)
     a2 = f.const(alpha * alpha % p, mont=True)
-    numer = f.add(
-        gate,
-        f.add(
-            f.mul(f.broadcast_const(a1, perm), perm),
-            f.mul(f.broadcast_const(a2, l1_term), l1_term),
-        ),
-    )
-    t_c = ntt_4n.intt_coset(f.mul(numer, pk.zh_inv_coset))  # (L, 4n)
+    n_inv_m = f.const(pow(n, -1, p), mont=True)
+
+    def numerator_slice(r: int):
+        sc = pk.coset_scale[r]
+        xn = pk.slice_xn[r]  # x^n on this slice (constant)
+        zh_inv = f.const(pow((xn - 1) % p, -1, p), mont=True)
+        xn_m = f.const(xn, mont=True)
+
+        def eval_slice(coeffs):
+            """coeffs (L, m), m <= n + 4: fold the tail with x^n = const,
+            scale by s_r^i, one size-n NTT."""
+            m = coeffs.shape[1]
+            base = coeffs[:, :n]
+            if m > n:
+                tail = jnp.pad(coeffs[:, n:], ((0, 0), (0, n - (m - n))))
+                base = f.add(base, f.mul(f.broadcast_const(xn_m, tail), tail))
+            return ntt_n.ntt(f.mul(base, sc))
+
+        lc = eval_slice(l_hat)
+        rc = eval_slice(r_hat)
+        oc = eval_slice(o_hat)
+        zc = eval_slice(z_hat)
+        zwc = eval_slice(zw_hat)
+        pic = eval_slice(pi_hat)
+        q = {k: eval_slice(v) for k, v in pk.q_coeffs.items()}
+        s = {k: eval_slice(v) for k, v in pk.s_coeffs.items()}
+        # id polys on the slice: x = s_r * omega^i; k1 x; k2 x
+        s_r = pk.slice_shift[r]
+        id1 = f.mul(f.broadcast_const(f.const(s_r, mont=True), pk.omega_pows), pk.omega_pows)
+        id2 = f.mul(f.broadcast_const(f.const(s_r * vk.k1 % p, mont=True), pk.omega_pows), pk.omega_pows)
+        id3 = f.mul(f.broadcast_const(f.const(s_r * vk.k2 % p, mont=True), pk.omega_pows), pk.omega_pows)
+        # L1 = (x^n - 1)/(n (x - 1)): coefficients are all 1/n, so its slice
+        # evaluation is NTT(sc) * (1/n)
+        l1 = f.mul(f.broadcast_const(n_inv_m, sc), ntt_n.ntt(sc))
+
+        gate = f.add(
+            f.add(f.mul(q["ql"], lc), f.mul(q["qr"], rc)),
+            f.add(f.mul(q["qm"], f.mul(lc, rc)), f.add(f.mul(q["qo"], oc), q["qc"])),
+        )
+        gate = f.add(gate, pic)
+        # BSB22: + sum_i qcp_i * P_i (reference id_Qci columns)
+        for i in range(n_com):
+            gate = f.add(gate, f.mul(eval_slice(pk.qcp_coeffs[i]), eval_slice(c_coeffs[i])))
+
+        gb4 = f.broadcast_const(f.const(gamma, mont=True), lc)
+
+        def lin4(col, tbl):
+            return f.add(f.add(col, f.mul(f.broadcast_const(bb, tbl), tbl)), gb4)
+
+        # permutation term oriented like gnark's (verify.go:157-176 identity)
+        perm_zw = f.mul(
+            f.mul(f.mul(lin4(lc, s["s1"]), lin4(rc, s["s2"])), lin4(oc, s["s3"])), zwc
+        )
+        perm_z = f.mul(
+            f.mul(f.mul(lin4(lc, id1), lin4(rc, id2)), lin4(oc, id3)), zc
+        )
+        perm = f.sub(perm_zw, perm_z)
+        l1_term = f.mul(l1, f.sub(zc, f.broadcast_const(f.one, zc)))
+        numer = f.add(
+            gate,
+            f.add(
+                f.mul(f.broadcast_const(a1, perm), perm),
+                f.mul(f.broadcast_const(a2, l1_term), l1_term),
+            ),
+        )
+        return f.mul(numer, f.broadcast_const(zh_inv, numer))
+
+    t_evals = jnp.zeros((f.n, 4 * n), dtype=jnp.uint32)
+    for r in range(4):
+        t_evals = t_evals.at[:, r::4].set(numerator_slice(r))
+    t_c = ntt_4n.intt_coset(t_evals)  # (L, 4n)
     m = n + 2
     h1 = t_c[:, :m]
     h2 = t_c[:, m : 2 * m]
@@ -232,6 +307,10 @@ def prove(
     )
     lb, rb, ob, s1b, s2b, fhb = kzg.eval_many_dev(eval_stack, zeta)
     zu = kzg.eval_many_dev(z_hat.reshape(f.n, 1, -1), omega_zeta)[0]
+    qcp_zeta = []
+    if n_com:
+        qstack = jnp.stack([pad_to(c, maxm) for c in pk.qcp_coeffs], axis=1)
+        qcp_zeta = [v % p for v in kzg.eval_many_dev(qstack, zeta)]
 
     # scalar weights of the linearized polynomial
     l1_zeta = (
@@ -260,6 +339,8 @@ def prove(
     ) % p
     rl = lb * rb % p
 
+    # BSB22: the linearization gains sum_i qcp_i(zeta) * P_i(X)
+    # (computeLinearizedPolynomial's qcpzeta/cCommitments args, prove.go:753-765)
     lin_stack = jnp.stack(
         [
             pad_to(pk.q_coeffs["ql"], maxm),
@@ -269,10 +350,13 @@ def prove(
             pad_to(pk.q_coeffs["qc"], maxm),
             pad_to(pk.s_coeffs["s3"], maxm),
             pad_to(z_hat, maxm),
-        ],
+        ]
+        + [pad_to(c, maxm) for c in c_coeffs],
         axis=1,
     )
-    wts = f.array([lb, rb, rl, ob, 1, s3_scal, z_scal]).reshape(f.n, 7, 1)
+    wts = f.array([lb, rb, rl, ob, 1, s3_scal, z_scal] + qcp_zeta).reshape(
+        f.n, 7 + n_com, 1
+    )
     lin = f.sum(f.mul(lin_stack, wts), axis=1)  # (L, maxm)
     lin_zeta = kzg.eval_many_dev(lin.reshape(f.n, 1, -1), zeta)[0]
     lin_com = kzg.commit_dev(pk.srs, f.from_mont(lin))
@@ -284,8 +368,12 @@ def prove(
     )
 
     # ---- 6. batched opening at zeta + Z at omega*zeta -------------------------
-    claimed = [fhb, lin_zeta, lb, rb, ob, s1b, s2b]
-    digests = [folded_h_com, lin_com, l_com, r_com, o_com, vk.s1, vk.s2]
+    # BSB22: the qcp trace polynomials join the batched opening at positions
+    # 7+ (batchOpening, prove.go:778-812)
+    claimed = [fhb, lin_zeta, lb, rb, ob, s1b, s2b] + qcp_zeta
+    digests = [folded_h_com, lin_com, l_com, r_com, o_com, vk.s1, vk.s2] + list(
+        vk.qcp
+    )
     # gnark kzg.BatchOpenSinglePoint fold challenge: fresh transcript over
     # (zeta, digests, claimed values, Z(omega*zeta) bytes) — prove.go:823-833
     nu = kzg_fold_challenge(zeta, digests, claimed, [fr_bytes(zu)], p)
@@ -299,11 +387,12 @@ def prove(
             pad_to(o_hat, maxm),
             pad_to(pk.s_coeffs["s1"], maxm),
             pad_to(pk.s_coeffs["s2"], maxm),
-        ],
+        ]
+        + [pad_to(c, maxm) for c in pk.qcp_coeffs],
         axis=1,
     )
-    nupows = [pow(nu, i, p) for i in range(len(FOLD_ORDER))]
-    np_ = f.array(nupows).reshape(f.n, len(FOLD_ORDER), 1)
+    nupows = [pow(nu, i, p) for i in range(len(claimed))]
+    np_ = f.array(nupows).reshape(f.n, len(claimed), 1)
     folded_poly = f.sum(f.mul(open_stack, np_), axis=1)
     q_poly, _ = kzg.div_by_linear_dev(folded_poly, zeta)
     batched_h = kzg.commit_dev(pk.srs, f.from_mont(q_poly))
@@ -318,7 +407,7 @@ def prove(
         h1_com=h1_com,
         h2_com=h2_com,
         h3_com=h3_com,
-        bsb22_commitments=[],
+        bsb22_commitments=bsb22_points,
         batched_h=batched_h,
         claimed_values=claimed,
         z_shifted_h=z_shifted_h,

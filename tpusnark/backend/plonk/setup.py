@@ -94,36 +94,41 @@ def setup(cs: SparseConstraintSystem, srs: kzg.SRS | None = None, tau: int | Non
             vals.append(ks[tcol] * dom.powers[trow] % p)
         s_evals_int[name] = vals
 
-    # ---- interpolations (device INTT) + coset tables ------------------------
+    # ---- interpolations (device INTT) ---------------------------------------
     def interp(evals):
         return ntt_n.intt(f.array(evals))  # (L, n) Montgomery coeffs
-
-    def coset4(coeffs):
-        padded = jnp.pad(coeffs, ((0, 0), (0, 4 * n - coeffs.shape[1])))
-        return ntt_4n.ntt_coset(padded)
 
     name_map = {"qL": "ql", "qR": "qr", "qM": "qm", "qO": "qo", "qC": "qc"}
     q_coeffs = {name_map[k]: interp(v) for k, v in q_evals.items()}
     s_coeffs = {k: interp(v) for k, v in s_evals_int.items()}
-    q_coset = {k: coset4(v) for k, v in q_coeffs.items()}
-    s_coset = {k: coset4(v) for k, v in s_coeffs.items()}
 
-    # id polynomials on the 4n coset: x, k1 x, k2 x
+    # ---- BSB22 qcp selector columns (reference setup.go:90-107: 1 at each
+    # committed row, rows already carry the public offset here) --------------
+    qcp_coeffs = []
+    for cm in cs.commitments:
+        evals = [0] * n
+        for r in cm.committed:
+            evals[cs.n_public + r] = 1
+        qcp_coeffs.append(interp(evals))
+
+    # ---- rho-loop slice tables (gnark computeNumerator, prove.go:980-1045):
+    # the 4n coset splits into 4 size-n cosets s_r * H with s_r = shift*w4^r;
+    # evaluating any coefficient form on slice r = scale coeff i by s_r^i
+    # then one size-n NTT. x^n is CONSTANT on a slice (= s_r^n), so Z_H and
+    # the tail-fold of (n+k)-degree blinded polys are per-slice scalars.
     big = ntt_4n.domain
-    xs = [big.coset_shift * w % p for w in big.powers]  # host ints, length 4n
-    id1 = f.array(xs)
-    id_coset = {
-        "id1": id1,
-        "id2": f.array([k1 * x % p for x in xs]),
-        "id3": f.array([k2 * x % p for x in xs]),
-    }
-    # L1(x) = (x^n - 1) / (n (x - 1)); Z_H^{-1}(x) = 1/(x^n - 1) on the coset
-    zh = [(pow(x, n, p) - 1) % p for x in xs]
-    n_inv = pow(n, -1, p)
-    l1 = [z * n_inv % p * pow(x - 1, -1, p) % p for z, x in zip(zh, xs)]
-    zh_inv = [pow(z, -1, p) for z in zh]
-    l1_coset = f.array(l1)
-    zh_inv_coset = f.array(zh_inv)
+    w4 = big.generator
+    shift = big.coset_shift
+    slice_shift = [shift * pow(w4, r, p) % p for r in range(4)]
+    slice_xn = [pow(s, n, p) for s in slice_shift]
+    coset_scale = []
+    for s in slice_shift:
+        pows, acc = [], 1
+        for _ in range(n):
+            pows.append(acc)
+            acc = acc * s % p
+        coset_scale.append(f.array(pows))
+    omega_pows = f.array(dom.powers)
 
     # ---- commitments ---------------------------------------------------------
     def commit(coeffs_mont):
@@ -144,6 +149,8 @@ def setup(cs: SparseConstraintSystem, srs: kzg.SRS | None = None, tau: int | Non
         s2=commit(s_coeffs["s2"]),
         s3=commit(s_coeffs["s3"]),
         g2=srs.g2,
+        qcp=[commit(c) for c in qcp_coeffs],
+        commitment_constraint_indexes=[cm.commitment_index for cm in cs.commitments],
     )
     pk = PlonkProvingKey(
         vk=vk,
@@ -151,11 +158,11 @@ def setup(cs: SparseConstraintSystem, srs: kzg.SRS | None = None, tau: int | Non
         domain_n=n,
         q_coeffs=q_coeffs,
         s_coeffs=s_coeffs,
-        q_coset=q_coset,
-        s_coset=s_coset,
-        id_coset=id_coset,
-        l1_coset=l1_coset,
-        zh_inv_coset=zh_inv_coset,
+        coset_scale=coset_scale,
+        omega_pows=omega_pows,
+        slice_shift=slice_shift,
+        slice_xn=slice_xn,
         s_evals_int=s_evals_int,
+        qcp_coeffs=qcp_coeffs,
     )
     return pk, vk

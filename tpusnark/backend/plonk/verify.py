@@ -33,7 +33,10 @@ def verify(proof: PlonkProof, vk: PlonkVerifyingKey, public_inputs: list[int]) -
         raise InvalidPlonkProofError(
             f"wrong number of public inputs: got {len(pubs)}, want {vk.n_public}"
         )
-    if len(proof.claimed_values) != len(FOLD_ORDER):
+    n_com = len(vk.qcp)
+    if len(proof.claimed_values) != len(FOLD_ORDER) + n_com:
+        return False
+    if len(proof.bsb22_commitments) != n_com:
         return False
 
     # ---- re-derive challenges (binding order must match the prover) ----------
@@ -46,13 +49,19 @@ def verify(proof: PlonkProof, vk: PlonkVerifyingKey, public_inputs: list[int]) -
         tr.bind("gamma", g1_bytes(c))
     gamma = tr.challenge_int("gamma", p)
     beta = tr.challenge_int("beta", p)
+    # alpha binds the Bsb22 commitments then Z (verify.go:78-83)
+    for c in proof.bsb22_commitments:
+        tr.bind("alpha", g1_bytes(c))
     tr.bind("alpha", g1_bytes(proof.z_com))
     alpha = tr.challenge_int("alpha", p)
     for c in (proof.h1_com, proof.h2_com, proof.h3_com):
         tr.bind("zeta", g1_bytes(c))
     zeta = tr.challenge_int("zeta", p)
 
-    fhb, lin_zeta, lb, rb, ob, s1b, s2b = [v % p for v in proof.claimed_values]
+    fhb, lin_zeta, lb, rb, ob, s1b, s2b = [
+        v % p for v in proof.claimed_values[:7]
+    ]
+    qcp_zeta = [v % p for v in proof.claimed_values[7:]]
     zu = proof.z_shifted_value % p
 
     # ---- public input polynomial + L1 at zeta ---------------------------------
@@ -67,6 +76,19 @@ def verify(proof: PlonkProof, vk: PlonkVerifyingKey, public_inputs: list[int]) -
         li = wi * zh % p * n_inv % p * pow((zeta - wi) % p, -1, p) % p
         pi = (pi + x * li) % p
         wi = wi * w % p
+    # BSB22 (verify.go:127-155): PI gains hash(Bsb22Commitment_i) *
+    # L_{npub + commitment_index}(zeta) for each commitment
+    if n_com:
+        from ...curves.marshal import g1_raw
+        from ...utils.hash_to_field import hash_to_field
+
+        for i, idx in enumerate(vk.commitment_constraint_indexes):
+            (hashed,) = hash_to_field(
+                g1_raw(proof.bsb22_commitments[i]), b"BSB22-Plonk", p
+            )
+            wpow = pow(w, vk.n_public + int(idx), p)
+            li = wpow * zh % p * n_inv % p * pow((zeta - wpow) % p, -1, p) % p
+            pi = (pi + hashed * li) % p
 
     # ---- claimed quotient vs linearization identity (verify.go:157-193) ------
     # lin(z) + pi(z) + a*zu*(l+b*s1+g)(r+b*s2+g)(o+g) - a^2*L1(z) == H(z)*(z^n-1)
@@ -116,7 +138,7 @@ def verify(proof: PlonkProof, vk: PlonkVerifyingKey, public_inputs: list[int]) -
     ) % p
     rl = lb * rb % p
     lin_com = None
-    for pt, s in (
+    for pt, s in [
         (vk.ql, lb),
         (vk.qr, rb),
         (vk.qm, rl),
@@ -124,7 +146,11 @@ def verify(proof: PlonkProof, vk: PlonkVerifyingKey, public_inputs: list[int]) -
         (vk.qc, 1),
         (vk.s3, s3_scal),
         (proof.z_com, z_scal),
-    ):
+    ] + [
+        # BSB22: + qcp_i(zeta) * Bsb22Commitment_i (verify.go:237-243)
+        (proof.bsb22_commitments[i], qcp_zeta[i])
+        for i in range(n_com)
+    ]:
         if pt is None or s % p == 0:
             continue
         lin_com = G1.add(lin_com, G1.mul(pt, s % p))
@@ -134,8 +160,16 @@ def verify(proof: PlonkProof, vk: PlonkVerifyingKey, public_inputs: list[int]) -
     # derivation as the prover's BatchOpenSinglePoint) -------------------------
     from ...utils.transcript import kzg_fold_challenge
 
-    claimed = [fhb, lin_zeta, lb, rb, ob, s1b, s2b]
-    digests = [folded_h_com, lin_com, proof.l_com, proof.r_com, proof.o_com, vk.s1, vk.s2]
+    claimed = [fhb, lin_zeta, lb, rb, ob, s1b, s2b] + qcp_zeta
+    digests = [
+        folded_h_com,
+        lin_com,
+        proof.l_com,
+        proof.r_com,
+        proof.o_com,
+        vk.s1,
+        vk.s2,
+    ] + list(vk.qcp)
     nu = kzg_fold_challenge(zeta, digests, claimed, [fr_bytes(zu)], p)
 
     folded_digest = None

@@ -24,6 +24,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
+from .hints import hint_name as hint_name_of
 from .system import COEFF_MINUS_ONE, COEFF_ONE, COEFF_ZERO, Hint
 
 
@@ -42,6 +43,19 @@ class Gate:
     qC: int = COEFF_ZERO
 
 
+@dataclass
+class PlonkCommitment:
+    """BSB22 commitment metadata on an SCS (gnark constraint.PlonkCommitment,
+    recorded by frontend/cs/scs/api.go:623 Commit). Row indices are
+    PRE-public-offset, exactly like gnark's: the trace row is
+    n_public + index. The committed rows read `-v + qcp_i(w^row)*P_i(w^row)
+    = 0` (qcp selector is 1 there); the commitment row reads
+    `-challenge + qk(w^row) = 0` with qk completed by the prover."""
+
+    commitment_index: int  # row of the challenge-injection constraint
+    committed: list[int]  # rows of the committed-value constraints
+
+
 class SparseConstraintSystem:
     def __init__(self, modulus: int):
         self.modulus = modulus
@@ -54,7 +68,19 @@ class SparseConstraintSystem:
         # ("gate", gate_idx, solved_wire | None) | ("hint", Hint, None)
         self.instructions: list[tuple] = []
         self.debug_info: list[str | None] = []
+        self.commitments: list[PlonkCommitment] = []
         self._finalized = False
+
+    def commitment_skip_rows(self) -> set[int]:
+        """Post-finalize trace rows whose gate equation involves the qcp /
+        completed-qk columns and therefore cannot be checked by the plain
+        gate evaluation (the quotient enforces them)."""
+        skip = set()
+        for cm in self.commitments:
+            skip.add(self.n_public + cm.commitment_index)
+            for r in cm.committed:
+                skip.add(self.n_public + r)
+        return skip
 
     # ------------------------------------------------------------------ wires
     @property
@@ -186,10 +212,23 @@ class UnsatisfiedGateError(Exception):
         self.idx = idx
 
 
-def solve_scs(cs: SparseConstraintSystem, assignment: dict) -> list[int]:
-    """Solve all wires; returns W with len == n_wires."""
+def solve_scs(
+    cs: SparseConstraintSystem, assignment: dict, hint_overrides: dict | None = None
+) -> list[int]:
+    """Solve all wires; returns W with len == n_wires.
+
+    hint_overrides: {hint fn or name -> replacement} — the prover's
+    OverrideHint seam (the PLONK prover swaps the BSB22 placeholder for the
+    real KZG-commit + hash-to-field, reference prove.go:310-313)."""
     p = cs.modulus
     cf = cs.coeffs
+    overrides = {}
+    if hint_overrides:
+        from .hints import hint_name
+
+        for k, v in hint_overrides.items():
+            overrides[k if isinstance(k, str) else hint_name(k)] = v
+    skip_rows = cs.commitment_skip_rows()
     W: list = [None] * cs.n_wires
     for i, name in enumerate(cs.public_names):
         W[i] = int(assignment[name]) % p
@@ -206,12 +245,17 @@ def solve_scs(cs: SparseConstraintSystem, assignment: dict) -> list[int]:
         if inst[0] == "hint":
             h = inst[1]
             ins = [(c * val(w) + k) % p if c % p else k % p for (c, w, k) in h.inputs]
-            outs = h.fn(p, ins)
+            fn = overrides.get(hint_name_of(h.fn), h.fn) if overrides else h.fn
+            outs = fn(p, ins)
             assert len(outs) == len(h.outputs)
             for w, v in zip(h.outputs, outs):
                 W[w] = int(v) % p
             continue
         _, gidx, solved = inst
+        if gidx in skip_rows:
+            # commitment rows: the qcp / completed-qk column (absent here)
+            # balances the equation; enforced by the quotient, not the solver
+            continue
         if gidx < cs.n_public:
             # public-input row: -w_i + PI(omega^i) = 0 by construction of the
             # verifier's PI polynomial; nothing to check or solve here

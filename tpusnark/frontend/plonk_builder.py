@@ -289,6 +289,53 @@ class PlonkBuilder:
             acc = self.add(acc, self._scale(bv, 1 << i))
         return acc
 
+    # ------------------------------------------------------------- commitments
+    def commit(self, *values) -> AVar:
+        """BSB22 in-circuit commitment (gnark frontend/cs/scs/api.go:623):
+        emits one COMMITTED row per value (-v = 0, balanced by the qcp_i *
+        P_i column), a placeholder hint computing the challenge, and a
+        COMMITMENT row (-challenge = 0, balanced by the prover-completed
+        qk). Returns the challenge variable; metadata lands in
+        cs.commitments with gnark's pre-offset row indexing."""
+        from ..constraint.hints import bsb22_placeholder
+        from ..constraint.scs import PlonkCommitment
+
+        vs = [v for v in values if self.constant_value(v) is None]
+        assert vs, "commit() needs at least one non-constant variable"
+        committed_rows = []
+        for v in vs:
+            av = self._affine(v)
+            committed_rows.append(len(self.cs.gates))
+            self.cs.add_gate(
+                Gate(
+                    xa=av.wire,
+                    xb=av.wire,
+                    xc=av.wire,
+                    qL=self._cid((-av.c) % self.p),
+                    qC=self._cid((-av.k) % self.p),
+                ),
+                dbg="bsb22 committed",
+            )
+        depth = len(self.cs.commitments)
+        triples = [(0, 0, depth)] + [
+            (a.c, a.wire, a.k) for a in (self._affine(v) for v in vs)
+        ]
+        (out_wire,) = self.cs.add_hint(bsb22_placeholder, triples, 1)
+        commitment_row = len(self.cs.gates)
+        self.cs.add_gate(
+            Gate(
+                xa=out_wire,
+                xb=out_wire,
+                xc=out_wire,
+                qL=COEFF_MINUS_ONE,
+            ),
+            dbg="bsb22 commitment",
+        )
+        self.cs.commitments.append(
+            PlonkCommitment(commitment_index=commitment_row, committed=committed_rows)
+        )
+        return AVar(1, out_wire, 0)
+
     # ------------------------------------------------------------------ hints
     def new_hint(self, fn, n_out: int, *inputs):
         triples = []
