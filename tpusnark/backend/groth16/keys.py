@@ -55,20 +55,26 @@ class ProvingKey:
     # Pedersen proving keys (basis = K of committed wires, setup.go:146-197)
     k_wires: list | None = None
     commitment_keys: list = field(default_factory=list)
+    # which curve the key was set up over (gnark's CurveID; drives the
+    # parametrized prover — no per-curve codegen, SURVEY §7)
+    curve: str = "bn254"
     # lazy device residency (icicle.go:31-130 analog)
     _dev: dict = field(default_factory=dict, repr=False)
 
     def device(self):
         """Encode point tables into device arrays once; returns the cache."""
         if not self._dev:
+            from ...curves.config import get_curve
             from ...curves.encoding import g1_to_device, g2_to_device
+            from ...fields.jfield import get_field
 
+            fp = get_field(get_curve(self.curve).fp_spec)
             self._dev = {
-                "a": g1_to_device(self.a),
-                "b1": g1_to_device(self.b1),
-                "b2": g2_to_device(self.b2),
-                "k": g1_to_device(self.k),
-                "z": g1_to_device(self.z),
+                "a": g1_to_device(self.a, fp),
+                "b1": g1_to_device(self.b1, fp),
+                "b2": g2_to_device(self.b2, fp),
+                "k": g1_to_device(self.k, fp),
+                "z": g1_to_device(self.z, fp),
             }
         return self._dev
 

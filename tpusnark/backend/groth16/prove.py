@@ -45,7 +45,7 @@ def _scalars_dev(vals: list[int]):
     return jnp.asarray(_fr.spec.encode(vals, mont=False).T.copy())
 
 
-def compute_h_dev(A, B, C, n: int):
+def compute_h_dev(A, B, C, n: int, spec=BN254_FR):
     """Quotient H = (A*B - C)/Z_H on device; returns (L, n-1) NORMAL-form
     limbs (MSM scalar format).
 
@@ -53,8 +53,8 @@ def compute_h_dev(A, B, C, n: int):
     evaluate on the shifted coset (coset-NTT), pointwise
     (a*b - c) * (g^n - 1)^-1  [Z_H is constant on the coset], coset-INTT.
     Inputs are (L, n_constraints) Montgomery; padded to n here."""
-    p = _fr.spec.modulus
-    ntt = get_ntt(BN254_FR, n)
+    p = spec.modulus
+    ntt = get_ntt(spec, n)
     den = pow((pow(ntt.domain.coset_shift, n, p) - 1) % p, -1, p)
     f = ntt.field
 
@@ -74,15 +74,52 @@ def compute_h_dev(A, B, C, n: int):
 _ABC_CACHE: dict = {}
 
 
-def _abc_eval(cs: ConstraintSystem) -> ABCEvaluator:
-    ev = _ABC_CACHE.get(id(cs))
+def _abc_eval(cs: ConstraintSystem, fr=None) -> ABCEvaluator:
+    fr = fr or _fr
+    ev = _ABC_CACHE.get((id(cs), id(fr)))
     if ev is None:
-        ev = ABCEvaluator(cs, _fr)
-        _ABC_CACHE[id(cs)] = ev
+        ev = ABCEvaluator(cs, fr)
+        _ABC_CACHE[(id(cs), id(fr))] = ev
     return ev
 
 
+def bsb22_prover_state(cs: ConstraintSystem, pk: ProvingKey):
+    """BSB22 prover-side hint override (reference prove.go:84-112): returns
+    (overrides | None, proof_commitments, private_vals); the lists fill in
+    as the solver executes the overridden hints. Shared by the single-chip
+    and sharded provers."""
+    n_com = len(cs.commitments)
+    proof_commitments: list = [None] * n_com
+    private_vals: list = [None] * n_com
+    if not n_com:
+        return None, proof_commitments, private_vals
+    from ...constraint.hints import bsb22_placeholder
+    from ...curves.marshal import g1_raw
+    from ...curves.pedersen import pedersen_commit
+    from ...utils.hash_to_field import COMMITMENT_DST, hash_to_field
+
+    def bsb22_real(p_, ins):
+        i = int(ins[0])
+        rest = ins[1:]
+        n_hashed = len(cs.commitments[i].public_and_commitment_committed)
+        hashed = rest[:n_hashed]
+        committed = [int(v) % p_ for v in rest[n_hashed:]]
+        C = pedersen_commit(pk.commitment_keys[i], committed)
+        proof_commitments[i] = C
+        private_vals[i] = committed
+        msg = g1_raw(C) + b"".join(int(v).to_bytes(32, "big") for v in hashed)
+        return [hash_to_field(msg, COMMITMENT_DST, p_)[0]]
+
+    return {bsb22_placeholder: bsb22_real}, proof_commitments, private_vals
+
+
 def prove(cs: ConstraintSystem, pk: ProvingKey, assignment: dict, rng=None) -> Proof:
+    from ...curves.config import get_curve
+
+    cfg = get_curve(getattr(pk, "curve", "bn254") or "bn254")
+    fr = get_field(cfg.fr_spec)
+    fp = get_field(cfg.fp_spec)
+    G1, G2 = cfg.host.G1, cfg.host.G2
     p = cs.modulus
     rand = rng or (lambda: secrets.randbelow(p))
     r, s = rand(), rand()
@@ -90,28 +127,9 @@ def prove(cs: ConstraintSystem, pk: ProvingKey, assignment: dict, rng=None) -> P
     # BSB22: override the placeholder hint with the real Pedersen commit +
     # hash-to-field challenge (reference prove.go:84-112)
     n_com = len(cs.commitments)
-    proof_commitments: list = [None] * n_com
-    private_vals: list = [None] * n_com
-    overrides = None
+    overrides, proof_commitments, private_vals = bsb22_prover_state(cs, pk)
     if n_com:
-        from ...constraint.hints import bsb22_placeholder
-        from ...curves.marshal import g1_raw
-        from ...curves.pedersen import pedersen_batch_prove, pedersen_commit
-        from ...utils.hash_to_field import COMMITMENT_DST, hash_to_field
-
-        def bsb22_real(p_, ins):
-            i = int(ins[0])
-            rest = ins[1:]
-            n_hashed = len(cs.commitments[i].public_and_commitment_committed)
-            hashed = rest[:n_hashed]
-            committed = [int(v) % p_ for v in rest[n_hashed:]]
-            C = pedersen_commit(pk.commitment_keys[i], committed)
-            proof_commitments[i] = C
-            private_vals[i] = committed
-            msg = g1_raw(C) + b"".join(int(v).to_bytes(32, "big") for v in hashed)
-            return [hash_to_field(msg, COMMITMENT_DST, p_)[0]]
-
-        overrides = {bsb22_placeholder: bsb22_real}
+        from ...curves.pedersen import pedersen_batch_prove
 
     # Solve on device for wide level structures, host for serial chains
     # (solve_any's minWorkPerCPU-style heuristic; reference
@@ -120,14 +138,14 @@ def prove(cs: ConstraintSystem, pk: ProvingKey, assignment: dict, rng=None) -> P
     # the MSM scalar vector is one on-device from_mont, no host round trip.
     from ...constraint.solver_jax import solve_any
 
-    w_mont, abc, W = solve_any(cs, assignment, BN254_FR, hint_overrides=overrides)
+    w_mont, abc, W = solve_any(cs, assignment, cfg.fr_spec, hint_overrides=overrides)
     n = pk.domain_n
 
     def wire_ints(idxs: list[int]) -> list[int]:
         if W is not None:
             return [int(W[i]) for i in idxs]
         cols = w_mont[:, np.asarray(idxs, dtype=np.int32)]
-        return _fr.to_ints(_fr.canon(cols), mont=True)
+        return fr.to_ints(fr.canon(cols), mont=True)
 
     pok = None
     if n_com:
@@ -138,16 +156,17 @@ def prove(cs: ConstraintSystem, pk: ProvingKey, assignment: dict, rng=None) -> P
         pok = pedersen_batch_prove(pk.commitment_keys, private_vals, seeds)
 
     if W is not None:
-        w_mont = jnp.asarray(_fr.spec.encode(W, mont=True).T.copy())
-        A, B, C = _abc_eval(cs)(w_mont)
-        w_dev = _scalars_dev(W)
+        w_mont = jnp.asarray(fr.spec.encode(W, mont=True).T.copy())
+        A, B, C = _abc_eval(cs, fr)(w_mont)
+        w_dev = jnp.asarray(fr.spec.encode(W, mont=False).T.copy())
     else:
         A, B, C = abc
-        w_dev = _fr.from_mont(w_mont)
-    h_dev = compute_h_dev(A, B, C, n)
+        w_dev = fr.from_mont(w_mont)
+    h_dev = compute_h_dev(A, B, C, n, cfg.fr_spec)
 
     dev = pk.device()
-    msm_g1, msm_g2 = _engines(cs.n_wires)
+    msm_g1 = get_msm_for("g1", cs.n_wires, cfg.name)
+    msm_g2 = get_msm_for("g2", cs.n_wires, cfg.name)
     k_wires = pk.k_wires
     if k_wires is None and cs.commitments:
         # deserialized pk: the bytes don't carry the wire mapping (nor do
@@ -168,11 +187,11 @@ def prove(cs: ConstraintSystem, pk: ProvingKey, assignment: dict, rng=None) -> P
     krs_k = msm_g1(dev["k"], priv_dev)
     krs_z = msm_g1(dev["z"], h_dev)
 
-    (ar_sum,) = g1_from_device_proj(ar_raw)
-    (bs1_sum,) = g1_from_device_proj(bs1_raw)
-    (bs2_sum,) = g2_from_device_proj(bs2_raw)
-    (krs_k_sum,) = g1_from_device_proj(krs_k)
-    (krs_z_sum,) = g1_from_device_proj(krs_z)
+    (ar_sum,) = g1_from_device_proj(ar_raw, fp)
+    (bs1_sum,) = g1_from_device_proj(bs1_raw, fp)
+    (bs2_sum,) = g2_from_device_proj(bs2_raw, fp, fp2_cls=cfg.host.Fp2)
+    (krs_k_sum,) = g1_from_device_proj(krs_k, fp)
+    (krs_z_sum,) = g1_from_device_proj(krs_z, fp)
 
     # host assembly (reference prove.go:295-410): tiny fixed-base muls
     ar = G1.add(G1.add(pk.alpha_g1, ar_sum), G1.mul(pk.delta_g1, r))

@@ -82,43 +82,53 @@ def _qap_eval_at_t(cs: ConstraintSystem, t: int, n: int, omega: int):
     return A, B, C
 
 
-def _g1_many(scalars: list[int], use_device: bool):
+def _g1_many(scalars: list[int], use_device: bool, curve: str = "bn254"):
     """[s_i * G1] for all i; device batch path for large inputs."""
+    from ...curves.config import get_curve
+
+    cfg = get_curve(curve)
+    G1h = cfg.host.G1
     if not use_device or len(scalars) < _DEVICE_THRESHOLD:
-        return [G1.mul(G1.generator(), s) if s % ref.R else None for s in scalars]
+        return [
+            G1h.mul(G1h.generator(), s) if s % cfg.host.R else None for s in scalars
+        ]
     from ...curves.batch_mul import FixedBaseMul, g1_generator_ladder
     from ...curves.encoding import g1_from_device_proj
     from ...curves.jcurve import g1_ops
     from ...fields.jfield import get_field
-    from ...fields.spec import BN254_FP, BN254_FR
 
-    fp = get_field(BN254_FP)
-    fr = get_field(BN254_FR)
-    mul = FixedBaseMul(g1_ops(fp), fr)
-    table = g1_generator_ladder(fp, mul.n_bits)
+    fp = get_field(cfg.fp_spec)
+    fr = get_field(cfg.fr_spec)
+    mul = FixedBaseMul(g1_ops(fp, b=cfg.g1_b), fr)
+    table = g1_generator_ladder(fp, mul.n_bits, curve)
     import jax.numpy as jnp
 
     sc = jnp.asarray(fr.spec.encode(scalars, mont=False).T.copy())
-    return g1_from_device_proj(mul(table, sc))
+    return g1_from_device_proj(mul(table, sc), fp)
 
 
-def _g2_many(scalars: list[int], use_device: bool):
+def _g2_many(scalars: list[int], use_device: bool, curve: str = "bn254"):
+    from ...curves.config import get_curve
+
+    cfg = get_curve(curve)
+    G2h = cfg.host.G2
     if not use_device or len(scalars) < _DEVICE_THRESHOLD:
-        return [G2.mul(G2.generator(), s) if s % ref.R else None for s in scalars]
+        return [
+            G2h.mul(G2h.generator(), s) if s % cfg.host.R else None for s in scalars
+        ]
     from ...curves.batch_mul import FixedBaseMul, g2_generator_ladder
     from ...curves.encoding import g2_from_device_proj
     from ...curves.jcurve import g2_ops
     from ...fields.jfield import get_field
-    from ...fields.spec import BN254_FP, BN254_FR
 
-    fp = get_field(BN254_FP)
-    fr = get_field(BN254_FR)
-    mul = FixedBaseMul(g2_ops(fp), fr)
-    table = g2_generator_ladder(fp, mul.n_bits)
+    fp = get_field(cfg.fp_spec)
+    fr = get_field(cfg.fr_spec)
+    mul = FixedBaseMul(g2_ops(fp, b3=cfg.g2_b3), fr)
+    table = g2_generator_ladder(fp, mul.n_bits, curve)
     import jax.numpy as jnp
 
     sc = jnp.asarray(fr.spec.encode(scalars, mont=False).T.copy())
-    return g2_from_device_proj(mul(table, sc))
+    return g2_from_device_proj(mul(table, sc), fp, fp2_cls=cfg.host.Fp2)
 
 
 def k_pk_wires_for(cs: ConstraintSystem) -> list[int]:
@@ -146,18 +156,25 @@ def dummy_setup(cs: ConstraintSystem, use_device: bool = True):
     return pk
 
 
-def setup(cs: ConstraintSystem, rng=None, use_device: bool = True):
-    """(pk, vk) for an R1CS. rng: callable -> int in [1, r) for testing
-    determinism; defaults to secrets-based sampling."""
-    assert cs.modulus == ref.R, "groth16 backend is BN254-only for now"
-    p = ref.R
+def setup(cs: ConstraintSystem, rng=None, use_device: bool = True, curve: str = "bn254"):
+    """(pk, vk) for an R1CS over the given curve (one parametrized
+    implementation — the reference generates this per curve,
+    /root/reference/backend/backend.go:28-33 + internal/generator). rng:
+    callable -> int in [1, r) for testing determinism; defaults to
+    secrets-based sampling."""
+    from ...curves.config import get_curve
+
+    cfg = get_curve(curve)
+    assert cs.modulus == cfg.host.R, f"circuit modulus is not {curve}'s r"
+    if cs.commitments and curve != "bn254":
+        raise NotImplementedError("BSB22 commitments are BN254-only for now")
+    p = cfg.host.R
     rand = rng or (lambda: secrets.randbelow(p - 1) + 1)
 
     from ...poly.domain import Domain
-    from ...fields.spec import BN254_FR
 
     n = _next_pow2(max(1, len(cs.constraints)))
-    dom = Domain(BN254_FR, n)
+    dom = Domain(cfg.fr_spec, n)
 
     alpha, beta, gamma, delta, t = (rand() for _ in range(5))
     # resample t until Z_H(t) != 0
@@ -199,7 +216,7 @@ def setup(cs: ConstraintSystem, rng=None, use_device: bool = True):
     # one big G1 batch: [A | B | K_vk | K_pk | CK... | Z | alpha, beta, delta]
     ck_flat = [s for lst in ck_s for s in lst]
     g1_scalars = A + B + k_vk_s + k_pk_s + ck_flat + z_s + [alpha, beta, delta]
-    g1_pts = _g1_many(g1_scalars, use_device)
+    g1_pts = _g1_many(g1_scalars, use_device, curve)
     o = 0
     nw = cs.n_wires
     a_pts = g1_pts[o : o + nw]
@@ -224,7 +241,7 @@ def setup(cs: ConstraintSystem, rng=None, use_device: bool = True):
 
         commitment_keys, commitment_vk = pedersen_setup(ck_bases, rand)
 
-    g2_pts = _g2_many(B + [beta, gamma, delta], use_device)
+    g2_pts = _g2_many(B + [beta, gamma, delta], use_device, curve)
     b2_pts = g2_pts[:nw]
     beta_g2, gamma_g2, delta_g2 = g2_pts[nw : nw + 3]
 
@@ -254,6 +271,7 @@ def setup(cs: ConstraintSystem, rng=None, use_device: bool = True):
         domain_n=n,
         k_wires=k_pk_wires,
         commitment_keys=commitment_keys,
+        curve=curve,
     )
     vk = VerifyingKey(
         alpha_g1=alpha_g1,

@@ -65,11 +65,20 @@ class FixedBaseMul:
         return jax.lax.fori_loop(0, self.n_bits, body, acc0)
 
 
-@functools.lru_cache(maxsize=8)
-def _g1_ladder_host(n_bits: int):
-    """2^k * G1 generator for k < n_bits, python ints."""
-    from .ref import G1
+def _host_mod(curve: str):
+    if curve == "bn254":
+        from . import ref
 
+        return ref
+    from . import bls12381
+
+    return bls12381
+
+
+@functools.lru_cache(maxsize=8)
+def _g1_ladder_host(n_bits: int, curve: str = "bn254"):
+    """2^k * G1 generator for k < n_bits, python ints."""
+    G1 = _host_mod(curve).G1
     out = []
     p = G1.generator()
     for _ in range(n_bits):
@@ -78,16 +87,15 @@ def _g1_ladder_host(n_bits: int):
     return out
 
 
-def g1_generator_ladder(fp: Field, n_bits: int):
+def g1_generator_ladder(fp: Field, n_bits: int, curve: str = "bn254"):
     """Device (X, Y) arrays, trailing axis n_bits."""
-    pts = _g1_ladder_host(n_bits)
+    pts = _g1_ladder_host(n_bits, curve)
     return (fp.array([pt[0] for pt in pts]), fp.array([pt[1] for pt in pts]))
 
 
 @functools.lru_cache(maxsize=8)
-def _g2_ladder_host(n_bits: int):
-    from .ref import G2
-
+def _g2_ladder_host(n_bits: int, curve: str = "bn254"):
+    G2 = _host_mod(curve).G2
     out = []
     p = G2.generator()
     for _ in range(n_bits):
@@ -96,8 +104,8 @@ def _g2_ladder_host(n_bits: int):
     return out
 
 
-def g2_generator_ladder(fp: Field, n_bits: int):
-    pts = _g2_ladder_host(n_bits)
+def g2_generator_ladder(fp: Field, n_bits: int, curve: str = "bn254"):
+    pts = _g2_ladder_host(n_bits, curve)
     X = (fp.array([pt[0].c0 for pt in pts]), fp.array([pt[0].c1 for pt in pts]))
     Y = (fp.array([pt[1].c0 for pt in pts]), fp.array([pt[1].c1 for pt in pts]))
     return (X, Y)

@@ -82,8 +82,13 @@ def g1_from_device_proj(pt, fp: Field | None = None):
     return out
 
 
-def g2_from_device_proj(pt, fp: Field | None = None):
+def g2_from_device_proj(pt, fp: Field | None = None, fp2_cls=None):
+    """fp2_cls: the host Fp2 class for the output points (defaults to the
+    BN254 one; pass curves.bls12381.Fp2 for BLS12-381). The projective
+    inverse itself is computed generically over Fp[u]/(u^2+1)."""
     fp = fp or get_field(BN254_FP)
+    fp2_cls = fp2_cls or Fp2
+    p = fp.spec.modulus
     (X0, X1), (Y0, Y1), (Z0, Z1) = pt
     x0 = fp.to_ints(X0)
     x1 = fp.to_ints(X1)
@@ -93,10 +98,19 @@ def g2_from_device_proj(pt, fp: Field | None = None):
     z1 = fp.to_ints(Z1)
     out = []
     for i in range(len(x0)):
-        z = Fp2(z0[i], z1[i])
-        if z.is_zero():
+        a, b = z0[i] % p, z1[i] % p
+        if a == 0 and b == 0:
             out.append(None)
-        else:
-            zi = z.inv()
-            out.append((Fp2(x0[i], x1[i]) * zi, Fp2(y0[i], y1[i]) * zi))
+            continue
+        # (a + bu)^-1 = (a - bu) / (a^2 + b^2)  over u^2 = -1
+        d = pow((a * a + b * b) % p, -1, p)
+        za, zb = a * d % p, (-b) * d % p
+        xi0, xi1 = x0[i] % p, x1[i] % p
+        yi0, yi1 = y0[i] % p, y1[i] % p
+        out.append(
+            (
+                fp2_cls((xi0 * za - xi1 * zb) % p, (xi0 * zb + xi1 * za) % p),
+                fp2_cls((yi0 * za - yi1 * zb) % p, (yi0 * zb + yi1 * za) % p),
+            )
+        )
     return out

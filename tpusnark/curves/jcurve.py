@@ -333,16 +333,16 @@ class FusedCurveOps(CurveOps):
         return self.add(p, p)
 
 
-def g1_ops(field_fp: Field) -> CurveOps:
-    return CurveOps(FpArith(field_fp, b=3))
+def g1_ops(field_fp: Field, b: int = 3) -> CurveOps:
+    return CurveOps(FpArith(field_fp, b=b))
 
 
-def g1_ops_fused(field_fp: Field) -> CurveOps:
-    return FusedCurveOps(FpArith(field_fp, b=3))
+def g1_ops_fused(field_fp: Field, b: int = 3) -> CurveOps:
+    return FusedCurveOps(FpArith(field_fp, b=b))
 
 
 def _g2_b3(field_fp: Field) -> tuple[int, int]:
-    # b' = 3/(9+u); 3b' precomputed as Fp2 constant
+    # BN254 default: b' = 3/(9+u); 3b' precomputed as Fp2 constant
     from .ref import XI, Fp2 as RefFp2
 
     b2 = RefFp2(3, 0) * XI.inv()
@@ -350,9 +350,9 @@ def _g2_b3(field_fp: Field) -> tuple[int, int]:
     return (b3.c0, b3.c1)
 
 
-def g2_ops(field_fp: Field) -> CurveOps:
-    return CurveOps(Fp2Arith(field_fp, _g2_b3(field_fp)))
+def g2_ops(field_fp: Field, b3: tuple[int, int] | None = None) -> CurveOps:
+    return CurveOps(Fp2Arith(field_fp, b3 or _g2_b3(field_fp)))
 
 
-def g2_ops_fused(field_fp: Field) -> CurveOps:
-    return FusedCurveOps(Fp2Arith(field_fp, _g2_b3(field_fp)))
+def g2_ops_fused(field_fp: Field, b3: tuple[int, int] | None = None) -> CurveOps:
+    return FusedCurveOps(Fp2Arith(field_fp, b3 or _g2_b3(field_fp)))

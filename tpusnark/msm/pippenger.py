@@ -45,16 +45,21 @@ tree_map = jax.tree_util.tree_map
 
 
 @functools.lru_cache(maxsize=None)
-def get_msm(curve: str = "g1", c: int = 13) -> "MSM":
-    """Shared MSM engine per (curve, window size): reuses jit caches across
-    callers (a fresh engine would recompile every graph)."""
+def get_msm(curve: str = "g1", c: int = 13, curve_name: str = "bn254") -> "MSM":
+    """Shared MSM engine per (group, window size, curve): reuses jit caches
+    across callers (a fresh engine would recompile every graph)."""
+    from ..curves.config import get_curve
     from ..curves.jcurve import g1_ops_fused, g2_ops_fused
     from ..fields.jfield import get_field
-    from ..fields.spec import BN254_FP, BN254_FR
 
-    fp = get_field(BN254_FP)
-    fr = get_field(BN254_FR)
-    ops = g1_ops_fused(fp) if curve == "g1" else g2_ops_fused(fp)
+    cfg = get_curve(curve_name)
+    fp = get_field(cfg.fp_spec)
+    fr = get_field(cfg.fr_spec)
+    ops = (
+        g1_ops_fused(fp, b=cfg.g1_b)
+        if curve == "g1"
+        else g2_ops_fused(fp, b3=cfg.g2_b3)
+    )
     return MSM(ops, fr, c=c)
 
 
@@ -66,9 +71,9 @@ def auto_c(n_points: int) -> int:
     return max(2, min(13, max(1, n_points).bit_length() - 1))
 
 
-def get_msm_for(curve: str, n_points: int) -> "MSM":
+def get_msm_for(curve: str, n_points: int, curve_name: str = "bn254") -> "MSM":
     """MSM engine with window size adapted to the problem size."""
-    return get_msm(curve, auto_c(n_points))
+    return get_msm(curve, auto_c(n_points), curve_name)
 
 
 def window_digits(scalars, n_limbs: int, c: int, n_windows: int):
