@@ -142,3 +142,47 @@ def test_prove_sharded_awkward_wire_count(mesh):
     pk, vk = setup(cs, rng=lambda: int(rng_state.integers(1, 1 << 62)), use_device=False)
     proof = prove_sharded(cs, pk, assignment, mesh)
     assert verify(proof, vk, [yv])
+
+
+def test_prove_sharded_bsb22(mesh):
+    """The sharded prover must install the BSB22 hint override and carry the
+    commitment + PoK on the proof (VERDICT r2 weak #10)."""
+    import random
+
+    from tpusnark.backend import groth16
+    from tpusnark.backend.groth16.sharded import prove_sharded
+    from tpusnark.frontend.builder import Builder
+
+    p = BN254_FR.modulus
+    b = Builder(p)
+    x = b.secret("x")
+    pub = b.public("pub")
+    c = b.commit(x, pub)
+    x3 = b.mul(x, x, x)
+    # pad the domain past the 8-device mesh width
+    acc = x
+    for _ in range(12):
+        acc = b.mul(acc, x)
+    b.assert_is_equal(acc, b.mul(x3, x3, x3, x3, x))
+    y = b.add(x3, b.mul(c, x), 5, pub)
+    yp = b.public("y")
+    b.assert_is_equal(y, yp)
+    cs = b.compile()
+
+    st = random.Random(7)
+    rng = lambda: st.randrange(1, p)
+    pk, vk = groth16.setup(cs, rng=rng, use_device=False)
+
+    # learn honest y through the real challenge
+    from tpusnark.curves.marshal import g1_raw
+    from tpusnark.curves.pedersen import pedersen_commit
+    from tpusnark.utils.hash_to_field import COMMITMENT_DST, hash_to_field
+
+    xv, pubv = 3, 11
+    C = pedersen_commit(pk.commitment_keys[0], [xv % p])
+    (ch,) = hash_to_field(g1_raw(C) + pubv.to_bytes(32, "big"), COMMITMENT_DST, p)
+    yv = (pow(xv, 3, p) + ch * xv + 5 + pubv) % p
+
+    proof = prove_sharded(cs, pk, {"x": xv, "pub": pubv, "y": yv}, mesh, rng=rng)
+    assert len(proof.commitments) == 1 and proof.commitment_pok is not None
+    assert groth16.verify(proof, vk, [pubv, yv])

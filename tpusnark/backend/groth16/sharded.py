@@ -85,13 +85,26 @@ class ShardedProverCore:
         # virtual-CPU-mesh dryrun — eagerly-dispatched limb ops each trigger
         # a ~0.4 s XLA:CPU compile, hundreds of which used to dominate the
         # multichip validation wall-clock.
+        # BSB22: pk.K excludes committed/commitment wires — gather the
+        # backing wires explicitly (same layout rule as the single-chip
+        # prover; reference icicle.go:152-187 filters the same way)
+        k_wires = None
+        if cs.commitments:
+            from .setup import k_pk_wires_for
+
+            k_wires = jnp.asarray(k_pk_wires_for(cs), dtype=jnp.int32)
+
         def _prelude(w_mont, w_norm):
             A, B, C = self._ev(w_mont)
             h = self.compute_h(A, B, C)
             h = jnp.pad(h, ((0, 0), (0, self.m - h.shape[1])))
-            priv = jnp.pad(
-                w_norm[:, self.cs.n_public :], ((0, 0), (0, self.cs.n_public))
-            )
+            if k_wires is not None:
+                priv = w_norm[:, k_wires]
+                priv = jnp.pad(priv, ((0, 0), (0, self.m - priv.shape[1])))
+            else:
+                priv = jnp.pad(
+                    w_norm[:, self.cs.n_public :], ((0, 0), (0, self.cs.n_public))
+                )
             return h, priv
 
         self._prelude_j = jax.jit(_prelude)
@@ -166,7 +179,19 @@ def prove_sharded(cs: ConstraintSystem, pk: ProvingKey, assignment: dict, mesh,
     r, s = rand(), rand()
 
     core = _core_cache(cs, pk, mesh, axis)
-    W = solve(cs, assignment)
+    # BSB22 commitments ride the same hint-override seam as the single-chip
+    # prover (VERDICT r2 weak #10: this path used to drop them)
+    from ...curves.pedersen import pedersen_batch_prove
+    from .prove import bsb22_prover_state
+
+    overrides, proof_commitments, private_vals = bsb22_prover_state(cs, pk)
+    W = solve(cs, assignment, hint_overrides=overrides)
+    pok = None
+    if cs.commitments:
+        seeds = b"".join(
+            int(W[cm.commitment_index]).to_bytes(32, "big") for cm in cs.commitments
+        )
+        pok = pedersen_batch_prove(pk.commitment_keys, private_vals, seeds)
     w_mont = jnp.asarray(_fr.spec.encode(W, mont=True).T.copy())
     w_pad = W + [0] * (core.m - len(W))
     w_norm = jnp.asarray(_fr.spec.encode(w_pad, mont=False).T.copy())
@@ -185,7 +210,9 @@ def prove_sharded(cs: ConstraintSystem, pk: ProvingKey, assignment: dict, mesh,
     krs = G1.add(krs, G1.mul(ar, s))
     krs = G1.add(krs, G1.mul(bs1, r))
     krs = G1.add(krs, G1.mul(pk.delta_g1, (-r * s) % p))
-    return Proof(ar=ar, krs=krs, bs=bs)
+    return Proof(
+        ar=ar, krs=krs, bs=bs, commitments=proof_commitments, commitment_pok=pok
+    )
 
 
 _CORES: dict = {}
