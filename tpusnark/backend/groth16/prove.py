@@ -185,13 +185,17 @@ def prove(cs: ConstraintSystem, pk: ProvingKey, assignment: dict, rng=None) -> P
     bs1_raw = msm_g1(dev["b1"], w_dev)
     bs2_raw = msm_g2(dev["b2"], w_dev)
     krs_k = msm_g1(dev["k"], priv_dev)
-    krs_z = msm_g1(dev["z"], h_dev)
 
     (ar_sum,) = g1_from_device_proj(ar_raw, fp)
     (bs1_sum,) = g1_from_device_proj(bs1_raw, fp)
     (bs2_sum,) = g2_from_device_proj(bs2_raw, fp, fp2_cls=cfg.host.Fp2)
     (krs_k_sum,) = g1_from_device_proj(krs_k, fp)
-    (krs_z_sum,) = g1_from_device_proj(krs_z, fp)
+    if len(pk.z) == 0:
+        # degenerate 1-constraint domain: deg(H) < 0, the Z table is empty
+        krs_z_sum = None
+    else:
+        krs_z = msm_g1(dev["z"], h_dev)
+        (krs_z_sum,) = g1_from_device_proj(krs_z, fp)
 
     # host assembly (reference prove.go:295-410): tiny fixed-base muls
     ar = G1.add(G1.add(pk.alpha_g1, ar_sum), G1.mul(pk.delta_g1, r))

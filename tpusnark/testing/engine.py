@@ -120,6 +120,17 @@ class TestEngine:
             self.assert_is_boolean(b)
         return sum(int(b) << i for i, b in enumerate(bits)) % self.p
 
+    # ---- commitments ----
+    def commit(self, *vals) -> int:
+        """BSB22 challenge under the engine: the deterministic placeholder
+        (the reference's engine also runs the placeholder hint; real
+        commitments only exist at prove time)."""
+        from ..constraint.hints import bsb22_placeholder
+
+        self._commit_depth = getattr(self, "_commit_depth", -1) + 1
+        ins = [self._commit_depth] + [int(v) % self.p for v in vals]
+        return bsb22_placeholder(self.p, ins)[0]
+
     # ---- hints ----
     def new_hint(self, fn, n_out: int, *inputs):
         outs = fn(self.p, [int(v) % self.p for v in inputs])
