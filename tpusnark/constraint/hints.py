@@ -40,6 +40,8 @@ def get_hint(name: str):
         # parametric bit-decomposition hints re-materialize on demand
         nbits = int(name.rsplit("_", 1)[1])
         return bits_hint_factory(nbits)
+    if fn is None and ".batch_invert_hint_" in name:
+        return batch_invert_hint_factory(int(name.rsplit("_", 1)[1]))
     if fn is None:
         raise KeyError(
             f"hint {name!r} not registered; import its module or register_hint() it"
@@ -55,6 +57,29 @@ def registered() -> list[str]:
 def inv_hint(p, ins):
     (x,) = ins
     return [pow(x, -1, p) if x % p else 0]
+
+
+def div_unchecked_hint(p, ins):
+    """a/b with 0/0 -> 0 (the DivUnchecked witness; constrained res*b == a)."""
+    a, b = ins
+    return [a * pow(b, -1, p) % p if b % p else 0]
+
+
+_BATCH_INV_CACHE: dict[int, object] = {}
+
+
+def batch_invert_hint_factory(n: int):
+    fn = _BATCH_INV_CACHE.get(n)
+    if fn is None:
+
+        def batch_invert_hint(p, ins):
+            return [pow(x, -1, p) if x % p else 0 for x in ins]
+
+        batch_invert_hint.__qualname__ = f"batch_invert_hint_{n}"
+        register_hint(batch_invert_hint)
+        _BATCH_INV_CACHE[n] = batch_invert_hint
+        fn = batch_invert_hint
+    return fn
 
 
 _BITS_CACHE: dict[int, object] = {}
@@ -94,4 +119,5 @@ def bsb22_placeholder(p, ins):
 
 
 register_hint(inv_hint)
+register_hint(div_unchecked_hint)
 register_hint(bsb22_placeholder)

@@ -69,6 +69,9 @@ class SparseConstraintSystem:
         self.instructions: list[tuple] = []
         self.debug_info: list[str | None] = []
         self.commitments: list[PlonkCommitment] = []
+        # api.Println entries: [("const", int) | ("affine", (c, wire, k))]
+        self.logs: list = []
+        self.solve_logs: list[str] = []
         self._finalized = False
 
     def commitment_skip_rows(self) -> set[int]:
@@ -161,6 +164,13 @@ class SparseConstraintSystem:
                 new_insts.append(inst)
         self.instructions = new_insts
         self._wire_kind = [self._wire_kind[old] for old in ids]
+        def remap_log(kind, v):
+            if kind == "affine":
+                c, w, k = v
+                return ("affine", (c, perm[w], k))
+            return (kind, v)
+
+        self.logs = [[remap_log(k_, v_) for k_, v_ in entry] for entry in self.logs]
 
         # public-input rows at the front (qL = -1, xa = public wire i)
         pub_gates = [
@@ -291,4 +301,13 @@ def solve_scs(
                 W[solved] = (-(qL * a + qO * c + qC)) * pow(den, -1, p) % p
         else:
             raise RuntimeError(f"gate #{gidx}: cannot solve wire {solved}")
-    return [w if w is not None else 0 for w in W]
+    Wout = [w if w is not None else 0 for w in W]
+    if cs.logs:
+        cs.solve_logs = [
+            " ".join(
+                str(v if kind == "const" else (v[0] * Wout[v[1]] + v[2]) % p)
+                for kind, v in entry
+            )
+            for entry in cs.logs
+        ]
+    return Wout

@@ -120,7 +120,21 @@ def solve(cs: ConstraintSystem, assignment: dict, hint_overrides: dict | None = 
                 W[solved] = (o * pow(l, -1, p) - r_rest) * pow(k, -1, p) % p
         else:
             raise RuntimeError(f"constraint #{cidx}: solved wire in multiple expressions")
-    return [w if w is not None else 0 for w in W]
+    Wout = [w if w is not None else 0 for w in W]
+    if cs.logs:
+        coeffs = cs.coeffs
+        cs.solve_logs = [
+            " ".join(
+                str(
+                    v
+                    if kind == "const"
+                    else sum(coeffs[cid] * Wout[vid] for cid, vid in v) % p
+                )
+                for kind, v in entry
+            )
+            for entry in cs.logs
+        ]
+    return Wout
 
 
 def compute_abc(cs: ConstraintSystem, W: list[int]):

@@ -84,6 +84,10 @@ class ConstraintSystem:
         self.wire_def: dict[int, int] = {}
         self.debug_info: list[str | None] = []
         self.commitments: list[Groth16Commitment] = []
+        # api.Println entries: [("const", int) | ("lin", [(cid, wid), ...])];
+        # resolved into solve_logs by the solver (reference core.go:98)
+        self.logs: list = []
+        self.solve_logs: list[str] = []
         self._finalized = False
 
     # ------------------------------------------------------------------ wires
@@ -167,6 +171,14 @@ class ConstraintSystem:
 
         def remap_expr(e):
             return [(cid, perm[vid]) for cid, vid in e]
+
+        self.logs = [
+            [
+                ("lin", remap_expr(v)) if kind == "lin" else (kind, v)
+                for kind, v in entry
+            ]
+            for entry in self.logs
+        ]
 
         for c in self.constraints:
             c.L = remap_expr(c.L)

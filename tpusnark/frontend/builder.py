@@ -27,7 +27,23 @@ class Var:
     terms: tuple
 
 
-class Builder:
+from .api_ext import APIExtensions
+
+
+class Builder(APIExtensions):
+    def _bool_key(self, a):
+        return a.terms
+
+    def println(self, *vals):
+        """Record a log entry resolved at solve time (reference api.go:136,
+        log storage constraint/core.go:98, resolution solver.go:248-318).
+        Resolved strings land in cs.solve_logs after solve()."""
+        entry = []
+        for v in vals:
+            cv = self.constant_value(v)
+            entry.append(("const", cv) if cv is not None else ("lin", self._lin(v)))
+        self.cs.logs.append(entry)
+
     def __init__(self, modulus: int):
         self.cs = ConstraintSystem(modulus)
         self.p = modulus

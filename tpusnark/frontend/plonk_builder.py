@@ -29,7 +29,25 @@ class AVar:
     k: int
 
 
-class PlonkBuilder:
+from .api_ext import APIExtensions
+
+
+class PlonkBuilder(APIExtensions):
+    def _bool_key(self, a):
+        a = self._affine(a)
+        return (a.c, a.wire, a.k)
+
+    def println(self, *vals):
+        entry = []
+        for v in vals:
+            cv = self.constant_value(v)
+            if cv is not None:
+                entry.append(("const", cv))
+            else:
+                av = self._affine(v)
+                entry.append(("affine", (av.c, av.wire, av.k)))
+        self.cs.logs.append(entry)
+
     def __init__(self, modulus: int):
         self.cs = SparseConstraintSystem(modulus)
         self.p = modulus

@@ -13,8 +13,20 @@ class CircuitNotSatisfiedError(Exception):
     pass
 
 
-class TestEngine:
+from ..frontend.api_ext import APIExtensions
+
+
+class TestEngine(APIExtensions):
     """api-compatible evaluator; `assignment` provides the input values."""
+
+    def mark_boolean(self, a):
+        self.assert_is_boolean(a)
+
+    def is_boolean(self, a) -> bool:
+        return int(a) % self.p in (0, 1)
+
+    def println(self, *vals):
+        print("circuit:", *[int(v) % self.p for v in vals])
 
     __test__ = False  # not a pytest class
 
