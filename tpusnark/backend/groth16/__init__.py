@@ -7,6 +7,7 @@ device-offload prover backend/groth16/bn254/icicle/.
 from .keys import Proof, ProvingKey, VerifyingKey
 from .prove import prove
 from .setup import setup
+from .solidity import export_solidity, proof_to_solidity_calldata
 from .verify import InvalidProofError, verify
 
 __all__ = [
@@ -17,4 +18,6 @@ __all__ = [
     "setup",
     "verify",
     "InvalidProofError",
+    "export_solidity",
+    "proof_to_solidity_calldata",
 ]
