@@ -31,8 +31,17 @@ class APIExtensions:
         from ..constraint.hints import div_unchecked_hint
 
         (res,) = self.new_hint(div_unchecked_hint, 1, a, b)
-        self.assert_is_equal(self.mul(res, b), a)
+        # ONE checked constraint res*b == a (gnark DivUnchecked is a single
+        # R1C/gate, frontend/cs/r1cs/api.go:262); builders provide the
+        # product-check primitive, the big-int engine never reaches here
+        # (constants short-circuit above)
+        self._assert_product(res, b, a)
         return res
+
+    def _assert_product(self, x, y, z):
+        """x*y == z as one constraint; builders may override (the generic
+        form costs an extra multiplication wire)."""
+        self.assert_is_equal(self.mul(x, y), z)
 
     def batch_invert(self, vals):
         """[1/v_i] via one batch hint + one product constraint each

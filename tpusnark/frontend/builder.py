@@ -146,21 +146,41 @@ class Builder(APIExtensions):
         return o
 
     def div(self, a, b):
-        """a / b; solver fails if b == 0 (gnark Div semantics)."""
+        """a / b; UNSATISFIABLE when b == 0, even for 0/0. gnark Div emits an
+        extra b * bInv = 1 constraint to force b != 0
+        (/root/reference/frontend/cs/r1cs/api.go:286-303); without it the
+        solver would happily assign 0 to the quotient of 0/0 (solveR1C's
+        zero-divisor branch just checks a*b == c). div_unchecked (api_ext)
+        keeps the single-constraint form."""
         cb = self.constant_value(b)
         if cb is not None:
             return self._scale(a, pow(cb, -1, self.p)) if cb else self._err_div0()
+        b_inv = self.inverse(b)
+        ca = self.constant_value(a)
+        if ca is not None:
+            return self._scale(b_inv, ca)
         o, w = self._new_wire_var()
-        # b * o = a, solver derives o (errors when b == 0 since L==0, O!=0 ...
-        # matches gnark: Div by zero is unsatisfiable unless a == 0)
-        self.cs.add_r1c(self._lin(b), self._lin(o), self._lin(a), solved_wire=w)
+        self.cs.add_r1c(self._lin(a), self._lin(b_inv), self._lin(o), solved_wire=w)
         return o
 
     def _err_div0(self):
         raise ZeroDivisionError("division by constant zero in circuit")
 
+    def _assert_product(self, x, y, z):
+        """x*y == z as ONE pure-check R1C (no solved wire)."""
+        self.cs.add_r1c(self._lin(x), self._lin(y), self._lin(z))
+
     def inverse(self, a):
-        return self.div(1, a)
+        """1/a as ONE constraint a * inv = 1 (solver fails when a == 0) —
+        gnark Inverse (/root/reference/frontend/cs/r1cs/api.go:322-344)."""
+        ca = self.constant_value(a)
+        if ca is not None:
+            if ca == 0:
+                self._err_div0()
+            return pow(ca, -1, self.p)
+        o, w = self._new_wire_var()
+        self.cs.add_r1c(self._lin(a), self._lin(o), self._lin(1), solved_wire=w)
+        return o
 
     def square(self, a):
         return self.mul(a, a)

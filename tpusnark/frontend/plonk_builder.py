@@ -169,12 +169,39 @@ class PlonkBuilder(APIExtensions):
         )
         return out
 
+    def _assert_product(self, x, y, z):
+        """x*y == z as ONE pure-check gate (no solved wire):
+        (cx wx + kx)(cy wy + ky) - (cz wz + kz) = 0."""
+        cx, cy = self.constant_value(x), self.constant_value(y)
+        if cx is not None or cy is not None:
+            self.assert_is_equal(self.mul(x, y), z)
+            return
+        x, y, z = self._affine(x), self._affine(y), self._affine(z)
+        self.cs.add_gate(
+            Gate(
+                xa=x.wire,
+                xb=y.wire,
+                xc=z.wire,
+                qM=self._cid(x.c * y.c % self.p),
+                qL=self._cid(x.c * y.k % self.p),
+                qR=self._cid(y.c * x.k % self.p),
+                qO=self._cid((-z.c) % self.p),
+                qC=self._cid((x.k * y.k - z.k) % self.p),
+            )
+        )
+
     def div(self, a, b):
+        """a/b, UNSATISFIABLE when b == 0: one extra inverse gate forces
+        b != 0 (gnark scs Div = Inverse(i2) + DivUnchecked,
+        /root/reference/frontend/cs/scs/api.go:191-196 — without it, a gate
+        b*out = a with b == 0 constrains only a == 0 and leaves out free,
+        so a hand-crafted PLONK witness could assign 0/0 arbitrarily)."""
         cb = self.constant_value(b)
         if cb is not None:
             if cb == 0:
                 raise ZeroDivisionError("division by constant zero in circuit")
             return self._scale(a, pow(cb, -1, self.p))
+        self.inverse(b)
         a, b = self._affine(a), self._affine(b)
         # out * b = a  ->  qM(out*wb)... out is a fresh single wire:
         # gate(xa=out, xb=b.wire, xc=a.wire):
@@ -195,7 +222,28 @@ class PlonkBuilder(APIExtensions):
         return out
 
     def inverse(self, a):
-        return self.div(1, a)
+        """1/a as ONE gate: inv*(a.c*wa + a.k) - 1 = 0 (gnark scs Inverse,
+        /root/reference/frontend/cs/scs/api.go:199-230). Solver fails on
+        a == 0 (zero qM*wb + qL denominator -> errDivideByZero analog)."""
+        ca = self.constant_value(a)
+        if ca is not None:
+            if ca == 0:
+                raise ZeroDivisionError("division by constant zero in circuit")
+            return pow(ca, -1, self.p)
+        a = self._affine(a)
+        out, w = self._new_out()
+        self.cs.add_gate(
+            Gate(
+                xa=w,
+                xb=a.wire,
+                xc=0,
+                qM=self._cid(a.c),
+                qL=self._cid(a.k),
+                qC=COEFF_MINUS_ONE,
+            ),
+            solved_wire=w,
+        )
+        return out
 
     def square(self, a):
         return self.mul(a, a)

@@ -143,7 +143,10 @@ class LookupTable:
 
         lp = 0
         for i, e in enumerate(self.entries):
-            lp = api.add(lp, api.div(counts[i], api.sub(x, rlc(i, e))))
+            # DivUnchecked like the reference logderivarg (logderivarg.go:121):
+            # a zero denominator means the FS challenge collided with a table
+            # row — the argument's own soundness event, not worth a gate
+            lp = api.add(lp, api.div_unchecked(counts[i], api.sub(x, rlc(i, e))))
         rp = 0
         for ind, val in self.queries:
             rp = api.add(rp, api.inverse(api.sub(x, rlc(ind, val))))

@@ -31,8 +31,12 @@ class EdwardsGadget:
         x1, y1 = p1
         x2, y2 = p2
         t = api.mul(self.d, x1, x2, y1, y2)
-        x3 = api.div(api.add(api.mul(x1, y2), api.mul(y1, x2)), api.add(1, t))
-        y3 = api.div(
+        # complete TE formulas: denominators 1 +- d*x1x2y1y2 are provably
+        # nonzero on the curve, so skip the inverse gate like the reference
+        # (/root/reference/std/algebra/native/twistededwards/point.go:92-93
+        # uses DivUnchecked here)
+        x3 = api.div_unchecked(api.add(api.mul(x1, y2), api.mul(y1, x2)), api.add(1, t))
+        y3 = api.div_unchecked(
             api.sub(api.mul(y1, y2), api.mul(self.a, api.mul(x1, x2))),
             api.sub(1, t),
         )
