@@ -65,6 +65,47 @@ class FixedBaseMul:
         return jax.lax.fori_loop(0, self.n_bits, body, acc0)
 
 
+class VarBaseMul:
+    """Batched VARIABLE-base scalar multiplication: lane i computes
+    s_i * P_i. The device analog of the reference MPC ceremony's
+    scaleG1InPlace/scaleG2InPlace loops
+    (/root/reference/backend/groth16/bn254/mpcsetup/utils.go:83-102), which
+    scalar-multiply every SRS point by a distinct power of tau per
+    contribution.
+
+    MSB-first double-and-add over the whole lane batch: n_bits complete
+    doublings + n_bits conditional complete mixed adds (branch-free selects).
+    """
+
+    def __init__(self, ops: CurveOps, fr: Field, n_bits: int | None = None):
+        self.ops = ops
+        self.fr = fr
+        self.n_bits = n_bits or fr.spec.modulus.bit_length()
+        self._jit = jax.jit(self._impl)
+
+    def __call__(self, points_affine, scalars_norm):
+        """points: (X, Y, inf) affine with batch N; scalars: (L, N)
+        normal-form 16-bit limbs. Returns projective points, batch N."""
+        return self._jit(points_affine, scalars_norm)
+
+    def _impl(self, points_affine, scalars):
+        ops = self.ops
+        X, Y, inf = points_affine
+        acc0 = ops.identity_like(X)
+        pt = (X, Y)
+
+        def body(j, acc):
+            k = self.n_bits - 1 - j
+            limb = k >> 4
+            sc = jax.lax.dynamic_index_in_dim(scalars, limb, axis=0, keepdims=False)
+            bit = (sc >> (jnp.uint32(k) & jnp.uint32(15))) & jnp.uint32(1)
+            acc = ops.double(acc)
+            nxt = ops.add_mixed(acc, pt)
+            return ops.select((bit == 1) & ~inf, nxt, acc)
+
+        return jax.lax.fori_loop(0, self.n_bits, body, acc0)
+
+
 def _host_mod(curve: str):
     if curve == "bn254":
         from . import ref
