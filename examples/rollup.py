@@ -134,19 +134,36 @@ def define(api):
     public root_before / root_after."""
     root_before = api.public("root_before")
     root_after = api.public("root_after")
+    _transfer_define(api, "", root_before, root_after)
 
-    snd_b = _account_inputs(api, "sender_before")
-    rcv_b = _account_inputs(api, "receiver_before")
-    snd_a = _account_inputs(api, "sender_after")
-    rcv_a = _account_inputs(api, "receiver_after")
-    amount = api.secret("amount")
-    sig_rx = api.secret("sig_rx")
-    sig_ry = api.secret("sig_ry")
-    sig_s = api.secret("sig_s")
+
+def define_batch(api, batch: int, depth: int = DEPTH):
+    """Batched rollup (reference circuit.go:28-67 has BatchSizeCircuit
+    transfers per proof): one pair of PUBLIC roots for the whole batch,
+    intermediate state roots as chained secrets — transfer j proves
+    root_{j} -> root_{j+1}."""
+    roots = [api.public("root_before")]
+    for j in range(batch - 1):
+        roots.append(api.secret(f"root_mid_{j}"))
+    roots.append(api.public("root_after"))
+    for j in range(batch):
+        _transfer_define(api, f"t{j}_", roots[j], roots[j + 1], depth=depth)
+
+
+def _transfer_define(api, pfx: str, root_before, root_after, depth: int = DEPTH):
+    snd_b = _account_inputs(api, pfx + "sender_before")
+    rcv_b = _account_inputs(api, pfx + "receiver_before")
+    snd_a = _account_inputs(api, pfx + "sender_after")
+    rcv_a = _account_inputs(api, pfx + "receiver_after")
+    amount = api.secret(pfx + "amount")
+    sig_rx = api.secret(pfx + "sig_rx")
+    sig_ry = api.secret(pfx + "sig_ry")
+    sig_s = api.secret(pfx + "sig_s")
     paths = {
-        key: [api.secret(f"path_{key}_{i}") for i in range(DEPTH)]
+        key: [api.secret(f"path_{pfx}{key}_{i}") for i in range(depth)]
         for key in ("sender_before", "receiver_before", "sender_after", "receiver_after")
     }
+    DEPTH_LOCAL = depth
 
     # same keys and indices before/after
     for k in ("index", "pub_x", "pub_y"):
@@ -154,8 +171,8 @@ def define(api):
         api.assert_is_equal(rcv_b[k], rcv_a[k])
 
     # inclusion proofs (index bits select sibling order)
-    snd_bits = api.to_binary(snd_b["index"], DEPTH)
-    rcv_bits = api.to_binary(rcv_b["index"], DEPTH)
+    snd_bits = api.to_binary(snd_b["index"], DEPTH_LOCAL)
+    rcv_bits = api.to_binary(rcv_b["index"], DEPTH_LOCAL)
     verify_merkle_proof(api, root_before, _leaf_hash_gadget(api, snd_b),
                         paths["sender_before"], snd_bits)
     verify_merkle_proof(api, root_before, _leaf_hash_gadget(api, rcv_b),
@@ -180,29 +197,43 @@ def define(api):
     api.assert_is_equal(api.add(rcv_b["balance"], amount), rcv_a["balance"])
 
 
-def assignment_from_transfer(t: dict) -> dict:
+def assignment_from_transfer(t: dict, pfx: str = "") -> dict:
     out = {
-        "root_before": t["root_before"],
-        "root_after": t["root_after"],
-        "amount": t["amount"],
-        "sig_rx": t["sig_r"][0],
-        "sig_ry": t["sig_r"][1],
-        "sig_s": t["sig_s"],
+        pfx + "amount": t["amount"],
+        pfx + "sig_rx": t["sig_r"][0],
+        pfx + "sig_ry": t["sig_r"][1],
+        pfx + "sig_s": t["sig_s"],
     }
+    if not pfx:  # batch-1 circuit: roots are the two publics
+        out["root_before"] = t["root_before"]
+        out["root_after"] = t["root_after"]
     for role, acc in (
         ("sender_before", t["pre"]["sender"]),
         ("receiver_before", t["pre"]["receiver"]),
         ("sender_after", t["post"]["sender"]),
         ("receiver_after", t["post"]["receiver"]),
     ):
-        out[f"{role}_index"] = acc.index
-        out[f"{role}_nonce"] = acc.nonce
-        out[f"{role}_balance"] = acc.balance
-        out[f"{role}_pub_x"] = acc.pub[0]
-        out[f"{role}_pub_y"] = acc.pub[1]
+        out[f"{pfx}{role}_index"] = acc.index
+        out[f"{pfx}{role}_nonce"] = acc.nonce
+        out[f"{pfx}{role}_balance"] = acc.balance
+        out[f"{pfx}{role}_pub_x"] = acc.pub[0]
+        out[f"{pfx}{role}_pub_y"] = acc.pub[1]
     for key, (sibs, _bits) in t["paths"].items():
         for i, s in enumerate(sibs):
-            out[f"path_{key}_{i}"] = s
+            out[f"path_{pfx}{key}_{i}"] = s
+    return out
+
+
+def batch_assignment(transfers: list[dict]) -> dict:
+    """Witness for define_batch: chained roots + per-transfer prefixed data."""
+    out = {
+        "root_before": transfers[0]["root_before"],
+        "root_after": transfers[-1]["root_after"],
+    }
+    for j, t in enumerate(transfers):
+        out.update(assignment_from_transfer(t, pfx=f"t{j}_"))
+        if j < len(transfers) - 1:
+            out[f"root_mid_{j}"] = t["root_after"]
     return out
 
 
@@ -213,23 +244,64 @@ def make_test_transfer():
     return op, t
 
 
+def make_batch(batch: int, accounts: int):
+    """Operator + `batch` sequential transfers over `accounts` accounts."""
+    kps = [edwards.eddsa_keygen(bytes([i % 251])) for i in range(accounts)]
+    op = Operator(kps)
+    transfers = []
+    for j in range(batch):
+        s = (2 * j + 1) % accounts
+        r = (3 * j + 2) % accounts
+        if r == s:
+            r = (r + 1) % accounts
+        transfers.append(op.make_transfer(sender=s, receiver=r, amount=10 + j))
+    return op, transfers
+
+
 def main():
+    import argparse
+    import time
+
     from tpusnark.backend import groth16
     from tpusnark.frontend.builder import Builder
     from tpusnark.logger import phase
 
+    ap = argparse.ArgumentParser()
+    # batch 32 x ~31k constraints/transfer ~ 10^6 (the BASELINE.json rollup
+    # config scale; reference examples/rollup/circuit.go:28-67)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--accounts", type=int, default=32)
+    args = ap.parse_args()
+    depth = max(1, (args.accounts - 1).bit_length())
+    assert args.accounts == 1 << depth, "--accounts must be a power of two"
+
     b = Builder(P)
-    define(b)
+    if args.batch == 1 and args.accounts == 16:
+        define(b)
+    else:
+        define_batch(b, args.batch, depth=depth)
     cs = b.compile()
     print("rollup cs:", cs.stats())
-    _, t = make_test_transfer()
-    assign = assignment_from_transfer(t)
+    op, transfers = make_batch(args.batch, args.accounts)
+    assign = (
+        assignment_from_transfer(transfers[0])
+        if args.batch == 1 and args.accounts == 16
+        else batch_assignment(transfers)
+    )
     with phase("setup", n=cs.stats()["n_constraints"]):
         pk, vk = groth16.setup(cs)
-    with phase("prove"):
+    with phase("prove"):  # includes compile on first call
         proof = groth16.prove(cs, pk, assign)
-    assert groth16.verify(proof, vk, [t["root_before"], t["root_after"]])
-    print("rollup: groth16 proof verified")
+    t0 = time.perf_counter()
+    proof = groth16.prove(cs, pk, assign)
+    dt = time.perf_counter() - t0
+    pubs = [transfers[0]["root_before"], transfers[-1]["root_after"]]
+    assert groth16.verify(proof, vk, pubs)
+    nc = cs.stats()["n_constraints"]
+    print(
+        f"rollup: groth16 proof verified  batch={args.batch} "
+        f"constraints={nc} prove_s={dt:.2f} (warm)"
+    )
 
 
 if __name__ == "__main__":

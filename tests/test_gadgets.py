@@ -91,3 +91,19 @@ def test_rollup_circuit_host():
     assert not is_solved(define, P, {**assign, "amount": t["amount"] + 1})
     # full R1CS solve (30k constraints, host ints)
     assert r1cs_is_satisfied(define, assign)
+
+
+def test_rollup_batch_circuit_host():
+    """Batched rollup (define_batch): chained secret roots, two public
+    roots for the batch (reference circuit.go BatchSizeCircuit)."""
+    from functools import partial
+
+    from examples.rollup import batch_assignment, define_batch, make_batch
+
+    _, ts = make_batch(2, 16)
+    assign = batch_assignment(ts)
+    circ = partial(define_batch, batch=2, depth=4)
+    assert is_solved(circ, P, assign)
+    # tampering with the hidden intermediate root must fail
+    assert not is_solved(circ, P, {**assign, "root_mid_0": 123})
+    assert r1cs_is_satisfied(circ, assign)

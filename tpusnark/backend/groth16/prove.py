@@ -113,15 +113,19 @@ def bsb22_prover_state(cs: ConstraintSystem, pk: ProvingKey):
     return {bsb22_placeholder: bsb22_real}, proof_commitments, private_vals
 
 
-def prove(cs: ConstraintSystem, pk: ProvingKey, assignment: dict, rng=None) -> Proof:
+def prove(
+    cs: ConstraintSystem, pk: ProvingKey, assignment: dict, rng=None, config=None
+) -> Proof:
     from ...curves.config import get_curve
+    from ..config import resolve
 
+    pcfg = resolve(config, rng)
     cfg = get_curve(getattr(pk, "curve", "bn254") or "bn254")
     fr = get_field(cfg.fr_spec)
     fp = get_field(cfg.fp_spec)
     G1, G2 = cfg.host.G1, cfg.host.G2
     p = cs.modulus
-    rand = rng or (lambda: secrets.randbelow(p))
+    rand = pcfg.rng or (lambda: secrets.randbelow(p))
     r, s = rand(), rand()
 
     # BSB22: override the placeholder hint with the real Pedersen commit +
@@ -138,7 +142,15 @@ def prove(cs: ConstraintSystem, pk: ProvingKey, assignment: dict, rng=None) -> P
     # the MSM scalar vector is one on-device from_mont, no host round trip.
     from ...constraint.solver_jax import solve_any
 
-    w_mont, abc, W = solve_any(cs, assignment, cfg.fr_spec, hint_overrides=overrides)
+    if pcfg.hint_overrides:
+        overrides = {**overrides, **pcfg.hint_overrides}
+    w_mont, abc, W = solve_any(
+        cs,
+        assignment,
+        cfg.fr_spec,
+        hint_overrides=overrides,
+        force_host=pcfg.accelerator == "host",
+    )
     n = pk.domain_n
 
     def wire_ints(idxs: list[int]) -> list[int]:

@@ -64,12 +64,16 @@ def prove(
     pk: PlonkProvingKey,
     assignment: dict,
     rng=None,
+    config=None,
 ) -> PlonkProof:
+    from ..config import resolve
+
+    pcfg = resolve(config, rng)
     f = _fr
     p = cs.modulus
     n = pk.domain_n
     vk = pk.vk
-    rand = rng or (lambda: secrets.randbelow(p))
+    rand = pcfg.rng or (lambda: secrets.randbelow(p))
     ntt_n = get_ntt(BN254_FR, n)
     ntt_4n = get_ntt(BN254_FR, 4 * n)
 
@@ -110,6 +114,8 @@ def prove(
         overrides = {bsb22_placeholder: bsb22_real}
 
     # ---- 1. solve + wire columns -------------------------------------------
+    if pcfg.hint_overrides:
+        overrides = {**(overrides or {}), **pcfg.hint_overrides}
     W = solve_scs(cs, assignment, hint_overrides=overrides)
     pubs = W[: cs.n_public]
     pad = n - cs.n_gates

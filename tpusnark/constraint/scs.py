@@ -68,6 +68,9 @@ class SparseConstraintSystem:
         # ("gate", gate_idx, solved_wire | None) | ("hint", Hint, None)
         self.instructions: list[tuple] = []
         self.debug_info: list[str | None] = []
+        from ..debug import SymbolTable
+
+        self.symbols = SymbolTable()
         self.commitments: list[PlonkCommitment] = []
         # api.Println entries: [("const", int) | ("affine", (c, wire, k))]
         self.logs: list = []
@@ -130,8 +133,16 @@ class SparseConstraintSystem:
         idx = len(self.gates)
         self.gates.append(gate)
         self.instructions.append(("gate", idx, solved_wire))
-        self.debug_info.append(dbg)
+        from ..debug import maybe_capture
+
+        self.debug_info.append(maybe_capture(self.symbols, dbg))
         return idx
+
+    def debug_str(self, idx: int) -> str | None:
+        """Resolve debug_info[idx] (string or interned stack ref) to text."""
+        from ..debug import format_dbg
+
+        return format_dbg(getattr(self, "symbols", None), self.debug_info[idx])
 
     def add_hint(self, fn, inputs, n_out: int) -> list[int]:
         """inputs: list of (coeff:int, wire:int, const:int) affine values."""
@@ -275,7 +286,7 @@ def solve_scs(
         if solved is None:
             a, b, c = val(g.xa), val(g.xb), val(g.xc)
             if (qL * a + qR * b + qM * a * b + qO * c + qC) % p != 0:
-                raise UnsatisfiedGateError(gidx, cs.debug_info[gidx])
+                raise UnsatisfiedGateError(gidx, cs.debug_str(gidx))
             continue
         if solved == g.xc and solved not in (g.xa, g.xb):
             a, b = val(g.xa), val(g.xb)
@@ -286,7 +297,7 @@ def solve_scs(
             den = (qL + qM * b) % p
             if den == 0:
                 if (qR * b + qO * c + qC) % p != 0:
-                    raise UnsatisfiedGateError(gidx, cs.debug_info[gidx])
+                    raise UnsatisfiedGateError(gidx, cs.debug_str(gidx))
                 W[solved] = 0
             else:
                 W[solved] = (-(qR * b + qO * c + qC)) * pow(den, -1, p) % p
@@ -295,7 +306,7 @@ def solve_scs(
             den = (qR + qM * a) % p
             if den == 0:
                 if (qL * a + qO * c + qC) % p != 0:
-                    raise UnsatisfiedGateError(gidx, cs.debug_info[gidx])
+                    raise UnsatisfiedGateError(gidx, cs.debug_str(gidx))
                 W[solved] = 0
             else:
                 W[solved] = (-(qL * a + qO * c + qC)) * pow(den, -1, p) % p

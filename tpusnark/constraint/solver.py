@@ -90,7 +90,7 @@ def solve(cs: ConstraintSystem, assignment: dict, hint_overrides: dict | None = 
         if solved is None:
             l, r, o = eval_lin(c.L), eval_lin(c.R), eval_lin(c.O)
             if (l * r - o) % p != 0:
-                raise UnsatisfiedConstraintError(cidx, cs.debug_info[cidx])
+                raise UnsatisfiedConstraintError(cidx, cs.debug_str(cidx))
             continue
         in_l = any(v == solved for _, v in c.L)
         in_r = any(v == solved for _, v in c.R)
@@ -105,7 +105,7 @@ def solve(cs: ConstraintSystem, assignment: dict, hint_overrides: dict | None = 
             if r % p == 0:
                 # (l_rest + k*w) * 0 = o -> o must be 0; w unconstrained -> 0
                 if o % p != 0:
-                    raise UnsatisfiedConstraintError(cidx, cs.debug_info[cidx])
+                    raise UnsatisfiedConstraintError(cidx, cs.debug_str(cidx))
                 W[solved] = 0
             else:
                 W[solved] = (o * pow(r, -1, p) - l_rest) * pow(k, -1, p) % p
@@ -114,7 +114,7 @@ def solve(cs: ConstraintSystem, assignment: dict, hint_overrides: dict | None = 
             r_rest, k = eval_lin_partial(c.R, solved)
             if l % p == 0:
                 if o % p != 0:
-                    raise UnsatisfiedConstraintError(cidx, cs.debug_info[cidx])
+                    raise UnsatisfiedConstraintError(cidx, cs.debug_str(cidx))
                 W[solved] = 0
             else:
                 W[solved] = (o * pow(l, -1, p) - r_rest) * pow(k, -1, p) % p

@@ -297,7 +297,7 @@ class LevelSolver:
         bad = np.asarray(~self.f.eq(self.f.mul(A, B), C))
         if bad.any():
             idx = int(np.argmax(bad))
-            raise UnsatisfiedConstraintError(idx, self.cs.debug_info[idx])
+            raise UnsatisfiedConstraintError(idx, self.cs.debug_str(idx))
 
 
 _SOLVERS: dict = {}
@@ -361,13 +361,15 @@ def solve_any(
     assignment: dict,
     spec: FieldSpec,
     hint_overrides: dict | None = None,
+    force_host: bool = False,
 ):
     """Solve on device when the level shape favors it, else on host.
 
     Returns (W_mont_dev | None, abc | None, W_ints | None): exactly one of
     W_mont_dev / W_ints is set; abc rides along on the device path (the
-    Groth16 prover consumes it directly)."""
-    if prefer_device(cs):
+    Groth16 prover consumes it directly). force_host pins the host path
+    (ProverConfig accelerator="host", gnark's CPU fallback icicle.go:141)."""
+    if not force_host and prefer_device(cs):
         ls = get_level_solver(cs, spec)
         W, abc = ls.solve_with_abc(assignment, hint_overrides)
         return W, abc, None

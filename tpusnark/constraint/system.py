@@ -83,6 +83,11 @@ class ConstraintSystem:
         # wire -> instruction index that defines it (solver dependency edges)
         self.wire_def: dict[int, int] = {}
         self.debug_info: list[str | None] = []
+        from ..debug import SymbolTable
+
+        # interned user call-stack records (gnark debug/symbol_table.go);
+        # populated only under TPUSNARK_DEBUG=1
+        self.symbols = SymbolTable()
         self.commitments: list[Groth16Commitment] = []
         # api.Println entries: [("const", int) | ("lin", [(cid, wid), ...])];
         # resolved into solve_logs by the solver (reference core.go:98)
@@ -145,8 +150,16 @@ class ConstraintSystem:
         self.instructions.append(("r1c", idx, solved_wire))
         if solved_wire is not None:
             self.wire_def[solved_wire] = iidx
-        self.debug_info.append(dbg)
+        from ..debug import maybe_capture
+
+        self.debug_info.append(maybe_capture(self.symbols, dbg))
         return idx
+
+    def debug_str(self, idx: int) -> str | None:
+        """Resolve debug_info[idx] (string or interned stack ref) to text."""
+        from ..debug import format_dbg
+
+        return format_dbg(getattr(self, "symbols", None), self.debug_info[idx])
 
     def add_hint(self, fn, inputs, n_out: int) -> list[int]:
         outs = [self.new_internal() for _ in range(n_out)]

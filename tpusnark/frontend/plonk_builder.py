@@ -52,6 +52,12 @@ class PlonkBuilder(APIExtensions):
         self.cs = SparseConstraintSystem(modulus)
         self.p = modulus
         self._booleans: set = set()
+        # gate-level CSE (gnark scs addConstraintExist/mulConstraintExist,
+        # /root/reference/frontend/cs/scs/builder.go:471,559): an add/mul gate
+        # fully determines its output wire from (input wires, coefficients),
+        # so identical gates reuse the first output instead of re-emitting.
+        self._add_cache: dict = {}
+        self._mul_cache: dict = {}
 
     # ----------------------------------------------------------------- inputs
     def public(self, name: str) -> AVar:
@@ -100,8 +106,17 @@ class PlonkBuilder(APIExtensions):
             c = (a.c + b.c) % self.p
             k = (a.k + b.k) % self.p
             return AVar(c, a.wire, k) if c else k
+        # canonical operand order, then CSE: out is a pure function of
+        # (wa, ca, wb, cb, ka+kb) — reuse an identical earlier gate's output
+        if (b.wire, b.c) < (a.wire, a.c):
+            a, b = b, a
+        key = (a.wire, a.c % self.p, b.wire, b.c % self.p, (a.k + b.k) % self.p)
+        hit = self._add_cache.get(key)
+        if hit is not None:
+            return hit
         # one gate: a.c*wa + b.c*wb - out + (ka+kb) = 0
         out, w = self._new_out()
+        self._add_cache[key] = out
         self.cs.add_gate(
             Gate(
                 xa=a.wire,
@@ -152,8 +167,22 @@ class PlonkBuilder(APIExtensions):
         if cb is not None:
             return self._scale(a, cb)
         a, b = self._affine(a), self._affine(b)
+        if (b.wire, b.c, b.k) < (a.wire, a.c, a.k):
+            a, b = b, a
+        key = (
+            a.wire,
+            b.wire,
+            a.c * b.c % self.p,
+            a.c * b.k % self.p,
+            b.c * a.k % self.p,
+            a.k * b.k % self.p,
+        )
+        hit = self._mul_cache.get(key)
+        if hit is not None:
+            return hit
         # (c1 w1 + k1)(c2 w2 + k2) = c1c2 w1w2 + c1k2 w1 + c2k1 w2 + k1k2
         out, w = self._new_out()
+        self._mul_cache[key] = out
         self.cs.add_gate(
             Gate(
                 xa=a.wire,
