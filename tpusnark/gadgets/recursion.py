@@ -1,0 +1,127 @@
+"""In-circuit Groth16 verifier: the std/recursion analog.
+
+Reference: /root/reference/std/recursion/groth16/verifier.go:36-40 — a
+circuit gadget that verifies an INNER Groth16/BN254 proof inside an OUTER
+BN254 circuit (proof recursion). Same pairing equation as the host verifier
+(backend/groth16/verify.py:72):
+
+    e(-Ar, Bs) * e(alpha, beta) * e(kSum, gamma) * e(Krs, delta) == 1
+
+with kSum = K_0 + sum_i pub_i * K_i. Because inner and outer share the
+curve, the inner PUBLIC INPUTS are native outer-field variables (scalars of
+the fr-order G1 group), while all the POINTS live over emulated Fp
+(gadgets/emulated.py limbs) — the same "non-2-chain" regime the reference
+handles with std/math/emulated.
+
+The verifying key enters as compile-time constants (the common recursion
+deployment: a fixed inner circuit); the proof enters as witness limbs.
+Cost is dominated by the 4 Miller loops + final exponentiation of
+gadgets/pairing.py.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from ..curves.ref import P as BN_FP
+from ..curves.ref import R as BN_FR
+from .pairing import G1Point, G2Point, PairingGadget
+from .sw_emulated import CurveSpec, EmulatedCurve, EmuPoint
+
+BN254_G1 = CurveSpec(p=BN_FP, a=0, b=3, gx=1, gy=2, order=BN_FR)
+
+
+@dataclass
+class ProofVar:
+    """An inner proof as circuit values (G1/G2 coordinates over emulated Fp)."""
+
+    ar: G1Point
+    bs: G2Point
+    krs: G1Point
+
+
+class Groth16Verifier:
+    def __init__(self, api, limb_bits: int = 64):
+        self.api = api
+        self.pg = PairingGadget(api, limb_bits)
+        self.curve = EmulatedCurve(api, BN254_G1, limb_bits)
+        # one emulated field for both gadgets (they are over the same Fp)
+        self.curve.F = self.pg.F
+
+    # ------------------------------------------------------------- builders
+    def proof_from_values(self, ar, bs, krs) -> ProofVar:
+        """Adopt host proof points ((x, y) ints for G1, Fp2 pairs for G2).
+        Coordinates become emulated constants; use proof_from_limbs for
+        witness-supplied proofs."""
+        return ProofVar(
+            ar=self.pg.g1_point(*ar),
+            bs=self.pg.g2_point(*bs),
+            krs=self.pg.g1_point(*krs),
+        )
+
+    def proof_from_limbs(self, ar_limbs, bs_limbs, krs_limbs) -> ProofVar:
+        """Witness form: ar/krs = (x_limbs, y_limbs); bs = ((x0, x1), (y0, y1))
+        limb lists. Limbs are range-checked on adoption (enforceWidth)."""
+        F = self.pg.F
+
+        def g1(pl):
+            return G1Point(F.from_limbs(pl[0]), F.from_limbs(pl[1]))
+
+        def g2(pl):
+            from .fields_tower import E2
+
+            (x0, x1), (y0, y1) = pl
+            return G2Point(
+                E2(F.from_limbs(x0), F.from_limbs(x1)),
+                E2(F.from_limbs(y0), F.from_limbs(y1)),
+            )
+
+        return ProofVar(ar=g1(ar_limbs), bs=g2(bs_limbs), krs=g1(krs_limbs))
+
+    # -------------------------------------------------------------- verify
+    def _ksum(self, vk, public_inputs) -> EmuPoint:
+        """K_0 + sum_i pub_i K_i with native-variable scalars: each pub_i is
+        decomposed to bits natively and drives an emulated double-and-add
+        (reference verifier.go computes the same MSM over emulated G1)."""
+        api, curve = self.api, self.curve
+        nbits = BN_FR.bit_length()
+        acc = curve.constant_point(*vk.k[0])
+        for w, pt in zip(public_inputs, vk.k[1:]):
+            bits = api.to_binary(w, nbits)
+            term = curve.scalar_mul(curve.constant_point(*pt), bits)
+            acc = curve.add_unsafe(acc, term)
+        return acc
+
+    def assert_proof(self, vk, proof: ProofVar, public_inputs):
+        """Constrain `proof` to verify under `vk` (host VerifyingKey) for the
+        given public inputs (native circuit variables, excluding the
+        constant-one wire — the host verify() convention)."""
+        assert len(public_inputs) + 1 == len(vk.k), "public input count"
+        pg = self.pg
+        # on-curve checks for the witness points (host verify.py:32-38;
+        # the G2 subgroup check is subsumed by the pairing equation only for
+        # honest vk — keep the curve-membership constraint explicit)
+        F = pg.F
+        for g1pt in (proof.ar, proof.krs):
+            y2 = F.mul(g1pt.y, g1pt.y)
+            x3 = F.mul(F.mul(g1pt.x, g1pt.x), g1pt.x)
+            F.assert_is_equal(y2, F.add(x3, F.constant(3)))
+        # twist curve: y^2 = x^3 + b' with b' = 3/(9+u)
+        from .fields_tower import _XI
+
+        btw = (_XI.inv() * 3)
+        y2 = pg.e2_square(proof.bs.y)
+        x3 = pg.e2_mul(pg.e2_square(proof.bs.x), proof.bs.x)
+        pg.e2_assert_eq(y2, pg.e2_add(x3, pg.e2_from_host(btw)))
+
+        ks = self._ksum(vk, public_inputs)
+        ksum_g1 = G1Point(ks.x, ks.y)
+        neg_ar = G1Point(proof.ar.x, F.neg(proof.ar.y))
+        pg.pairing_check(
+            [
+                (neg_ar, proof.bs),
+                (pg.g1_point(*vk.alpha_g1), pg.g2_point(*vk.beta_g2)),
+                (ksum_g1, pg.g2_point(*vk.gamma_g2)),
+                (proof.krs, pg.g2_point(*vk.delta_g2)),
+            ]
+        )
