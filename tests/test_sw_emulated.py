@@ -170,3 +170,61 @@ def test_emu_curve_add_compiled():
     bad["sx0"] = (bad["sx0"] + 1) % P
     with pytest.raises(Exception):
         solve(cs, bad)
+
+
+# --------------------------------------------- complete (flagged) operations
+def _flag(eng, v):
+    """Normalize a flag (int or engine var) to a python int."""
+    return int(v) if isinstance(v, int) else int(eng.constant_value(v))
+
+
+def test_add_unified_cases():
+    """add_unified covers add, double, annihilation, and zero flags
+    (advisor r3 medium: the unflagged path was unsatisfiable for s = 0)."""
+    eng = TestEngine(P, {})
+    cv = EmulatedCurve(eng, C)
+    a = _smul(5, GEN)
+    b = _smul(9, GEN)
+    pa, pb = cv.constant_point(*a), cv.constant_point(*b)
+
+    # generic add
+    r, rz = cv.add_unified(pa, pb)
+    expect = _add(a, b)
+    assert _flag(eng, rz) == 0
+    assert cv.F.to_value(cv.F.reduce(r.x)) == expect[0]
+    assert cv.F.to_value(cv.F.reduce(r.y)) == expect[1]
+
+    # unified doubling (P == Q)
+    r, rz = cv.add_unified(pa, pa)
+    expect = _add(a, a)
+    assert _flag(eng, rz) == 0
+    assert cv.F.to_value(cv.F.reduce(r.x)) == expect[0]
+
+    # annihilation P + (-P) -> flagged identity, still satisfiable
+    r, rz = cv.add_unified(pa, cv.neg(pa))
+    assert _flag(eng, rz) == 1
+
+    # zero flags pass the other operand through
+    r, rz = cv.add_unified(pa, cv.zero_point(), 0, 1)
+    assert _flag(eng, rz) == 0
+    assert cv.F.to_value(cv.F.reduce(r.x)) == a[0]
+    r, rz = cv.add_unified(cv.zero_point(), pb, 1, 0)
+    assert cv.F.to_value(cv.F.reduce(r.x)) == b[0]
+    r, rz = cv.add_unified(cv.zero_point(), cv.zero_point(), 1, 1)
+    assert _flag(eng, rz) == 1
+
+
+def test_scalar_mul_flagged_zero_and_nonzero():
+    eng = TestEngine(P, {})
+    cv = EmulatedCurve(eng, C)
+    k = rng.randrange(2, 1 << 48)
+    bits = [(k >> i) & 1 for i in range(48)]
+    got, gz = cv.scalar_mul_flagged(cv.generator(), bits)
+    expect = _smul(k, GEN)
+    assert _flag(eng, gz) == 0
+    assert cv.F.to_value(cv.F.reduce(got.x)) == expect[0]
+    assert cv.F.to_value(cv.F.reduce(got.y)) == expect[1]
+
+    # s == 0: previously divided by zero in the AUX subtraction; now flagged
+    got, gz = cv.scalar_mul_flagged(cv.generator(), [0] * 48)
+    assert _flag(eng, gz) == 1

@@ -83,4 +83,13 @@ def resolve(config: ProverConfig | None, rng=None) -> ProverConfig:
     cfg = config or ProverConfig()
     if rng is not None:
         cfg = cfg.with_rng(rng)
+    if cfg.hints:
+        # make named hints resolvable for deserialized constraint systems
+        # (gnark solver.WithHints; lookup happens by name at solve time,
+        # constraint/hints.get_hint)
+        from ..constraint.hints import _REGISTRY, register_hint
+
+        for name, fn in cfg.hints.items():
+            if _REGISTRY.get(name) is not fn:
+                register_hint(fn, name)
     return cfg

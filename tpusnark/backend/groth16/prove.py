@@ -150,6 +150,7 @@ def prove(
         cfg.fr_spec,
         hint_overrides=overrides,
         force_host=pcfg.accelerator == "host",
+        logs=pcfg.solver_logs,
     )
     n = pk.domain_n
 

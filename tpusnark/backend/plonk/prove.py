@@ -116,7 +116,7 @@ def prove(
     # ---- 1. solve + wire columns -------------------------------------------
     if pcfg.hint_overrides:
         overrides = {**(overrides or {}), **pcfg.hint_overrides}
-    W = solve_scs(cs, assignment, hint_overrides=overrides)
+    W = solve_scs(cs, assignment, hint_overrides=overrides, logs=pcfg.solver_logs)
     pubs = W[: cs.n_public]
     pad = n - cs.n_gates
     l_e = [W[g.xa] for g in cs.gates] + [0] * pad
@@ -134,7 +134,7 @@ def prove(
     o_com = kzg.commit_dev(pk.srs, f.from_mont(o_hat))
 
     # ---- 2. gamma, beta ------------------------------------------------------
-    tr = Transcript(list(CHALLENGES))
+    tr = Transcript(list(CHALLENGES), hash_factory=pcfg.challenge_hash)
     for pt in vk.digest_points():
         tr.bind("gamma", g1_bytes(pt))
     for w in pubs:
@@ -382,7 +382,9 @@ def prove(
     )
     # gnark kzg.BatchOpenSinglePoint fold challenge: fresh transcript over
     # (zeta, digests, claimed values, Z(omega*zeta) bytes) — prove.go:823-833
-    nu = kzg_fold_challenge(zeta, digests, claimed, [fr_bytes(zu)], p)
+    nu = kzg_fold_challenge(
+        zeta, digests, claimed, [fr_bytes(zu)], p, hash_factory=pcfg.kzg_fold_hash
+    )
 
     open_stack = jnp.stack(
         [

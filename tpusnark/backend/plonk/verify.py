@@ -24,7 +24,12 @@ class InvalidPlonkProofError(Exception):
     pass
 
 
-def verify(proof: PlonkProof, vk: PlonkVerifyingKey, public_inputs: list[int]) -> bool:
+def verify(
+    proof: PlonkProof, vk: PlonkVerifyingKey, public_inputs: list[int], config=None
+) -> bool:
+    # config: backend.config.VerifierConfig — hash overrides MUST match the
+    # prover's (gnark backend.go:169-199)
+    vcfg = config
     p = R
     n = vk.n
     w = vk.generator
@@ -40,7 +45,10 @@ def verify(proof: PlonkProof, vk: PlonkVerifyingKey, public_inputs: list[int]) -
         return False
 
     # ---- re-derive challenges (binding order must match the prover) ----------
-    tr = Transcript(list(CHALLENGES))
+    tr = Transcript(
+        list(CHALLENGES),
+        hash_factory=vcfg.challenge_hash if vcfg is not None else None,
+    )
     for pt in vk.digest_points():
         tr.bind("gamma", g1_bytes(pt))
     for x in pubs:
@@ -170,7 +178,14 @@ def verify(proof: PlonkProof, vk: PlonkVerifyingKey, public_inputs: list[int]) -
         vk.s1,
         vk.s2,
     ] + list(vk.qcp)
-    nu = kzg_fold_challenge(zeta, digests, claimed, [fr_bytes(zu)], p)
+    nu = kzg_fold_challenge(
+        zeta,
+        digests,
+        claimed,
+        [fr_bytes(zu)],
+        p,
+        hash_factory=vcfg.kzg_fold_hash if vcfg is not None else None,
+    )
 
     folded_digest = None
     folded_value = 0

@@ -234,7 +234,10 @@ class UnsatisfiedGateError(Exception):
 
 
 def solve_scs(
-    cs: SparseConstraintSystem, assignment: dict, hint_overrides: dict | None = None
+    cs: SparseConstraintSystem,
+    assignment: dict,
+    hint_overrides: dict | None = None,
+    logs: bool = True,
 ) -> list[int]:
     """Solve all wires; returns W with len == n_wires.
 
@@ -314,7 +317,7 @@ def solve_scs(
             raise RuntimeError(f"gate #{gidx}: cannot solve wire {solved}")
     Wout = [w if w is not None else 0 for w in W]
     if cs.logs:
-        cs.solve_logs = [
+        cs.solve_logs = [] if not logs else [
             " ".join(
                 str(v if kind == "const" else (v[0] * Wout[v[1]] + v[2]) % p)
                 for kind, v in entry

@@ -19,7 +19,12 @@ class UnsatisfiedConstraintError(Exception):
         self.idx = idx
 
 
-def solve(cs: ConstraintSystem, assignment: dict, hint_overrides: dict | None = None) -> list[int]:
+def solve(
+    cs: ConstraintSystem,
+    assignment: dict,
+    hint_overrides: dict | None = None,
+    logs: bool = True,
+) -> list[int]:
     """assignment: name -> int for all public+secret inputs.
     Returns the full wire vector W (python ints), W[0] == 1.
 
@@ -121,7 +126,7 @@ def solve(cs: ConstraintSystem, assignment: dict, hint_overrides: dict | None = 
         else:
             raise RuntimeError(f"constraint #{cidx}: solved wire in multiple expressions")
     Wout = [w if w is not None else 0 for w in W]
-    if cs.logs:
+    if cs.logs and logs:
         coeffs = cs.coeffs
         cs.solve_logs = [
             " ".join(

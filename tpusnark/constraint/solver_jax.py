@@ -362,6 +362,7 @@ def solve_any(
     spec: FieldSpec,
     hint_overrides: dict | None = None,
     force_host: bool = False,
+    logs: bool = True,
 ):
     """Solve on device when the level shape favors it, else on host.
 
@@ -375,4 +376,6 @@ def solve_any(
         return W, abc, None
     from .solver import solve as solve_host
 
-    return None, None, solve_host(cs, assignment, hint_overrides=hint_overrides)
+    return None, None, solve_host(
+        cs, assignment, hint_overrides=hint_overrides, logs=logs
+    )

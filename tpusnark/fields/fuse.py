@@ -37,14 +37,66 @@ import math
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.extend.core import Literal as _Literal
 
 tree = jax.tree_util
 
-# target (leading-dims x tile) lanes per kernel instance: a 16-limb
-# Montgomery mul peaks ~2048 lanes, but complete point adds (wider stacked
-# intermediates: the (16,16,6k,T) outer products) overflow the 16 MB VMEM
-# beyond ~1-2k lanes — 1024 is the sweet spot measured on v5e
-LANE_BUDGET = 1024
+# upper bound on (leading-dims x tile) lanes per kernel instance; the
+# actual tile is sized per-op from a liveness estimate of the traced kernel
+# against the scoped-VMEM budget (see _peak_live_bytes): a 2-ary 16-limb
+# Montgomery mul tops out ~2048 lanes, while the G2 (Fp2) complete mixed add
+# carries ~27 operand/carry arrays and only fits at ~256-512 lanes — one
+# fixed budget cannot serve both (a 1024-lane G2 add needs 23.5 MB scoped
+# VMEM vs the 16 MB Mosaic limit).
+LANE_BUDGET = 2048
+
+# scoped-VMEM target for the liveness estimate. The hardware limit is 16 MB;
+# the estimate is optimistic (Mosaic's allocator double-buffers grid blocks
+# and spills vector registers), so aim well under it.
+VMEM_BUDGET_BYTES = 6 * 1024 * 1024
+
+
+def _peak_live_bytes(closed_jaxpr) -> int:
+    """Upper-bound estimate of peak live bytes while evaluating a jaxpr.
+
+    Walks equations in order tracking the byte-size of every live value
+    (defined, not yet past its last use). This approximates what a
+    liveness-driven VMEM allocator achieves for the straight-line
+    elementwise kernels `fuse` builds (no control flow sub-jaxprs)."""
+    jaxpr = closed_jaxpr.jaxpr
+
+    def size(v):
+        aval = v.aval
+        if not hasattr(aval, "shape"):
+            return 0
+        return math.prod(aval.shape) * jnp.dtype(aval.dtype).itemsize
+
+    last_use: dict = {}
+    for idx, eqn in enumerate(jaxpr.eqns):
+        for v in eqn.invars:
+            if not isinstance(v, _Literal):
+                last_use[v] = idx
+    for v in jaxpr.outvars:
+        if not isinstance(v, _Literal):
+            last_use[v] = len(jaxpr.eqns)
+
+    live = {v: size(v) for v in (*jaxpr.invars, *jaxpr.constvars)}
+    cur = sum(live.values())
+    peak = cur
+    for idx, eqn in enumerate(jaxpr.eqns):
+        for v in eqn.outvars:
+            if v not in live:
+                live[v] = size(v)
+                cur += live[v]
+        peak = max(peak, cur)
+        for v in eqn.invars:
+            if (
+                not isinstance(v, _Literal)
+                and last_use.get(v) == idx
+                and v not in jaxpr.outvars
+            ):
+                cur -= live.pop(v, 0)
+    return peak
 
 
 def _pad_to(x, n):
@@ -72,6 +124,8 @@ def fuse(fn, lanes: int = LANE_BUDGET):
     # times at one shape (the 22 unrolled NTT stages); identical jaxprs also
     # keep the Mosaic kernel hash identical so the backend compiles it once.
     trace_cache: dict = {}
+    # structure key (leaf shapes sans trailing axis) -> chosen tile width
+    tile_cache: dict = {}
 
     @functools.wraps(fn)
     def wrapped(*args):
@@ -84,29 +138,23 @@ def fuse(fn, lanes: int = LANE_BUDGET):
         for x in leaves:
             assert x.shape[-1] == N, "fuse: trailing batch dims must agree"
         lead = max(math.prod(x.shape[1:-1]) for x in leaves)
-        tile = max(128, (lanes // max(1, lead)) // 128 * 128)
-        tile = min(tile, -(-N // 128) * 128)
-        grid_n = -(-N // tile)
-        Np = grid_n * tile
-        args_p = tree.tree_map(lambda x: _pad_to(x, Np), args)
-        out_sd = jax.eval_shape(fn, *args_p)
-        flat_in, in_tree = tree.tree_flatten(args_p)
+        tile_cap = max(128, (lanes // max(1, lead)) // 128 * 128)
 
-        # Pallas forbids captured constants (modulus limbs, ...): trace fn
-        # at TILE shape with the in-kernel math variant selected, pull the
-        # jaxpr's constants out, and feed them back as explicit kernel refs.
-        def flat_fn(*ls):
-            return fn(*tree.tree_unflatten(in_tree, ls))
-
-        tile_sds = [
-            jax.ShapeDtypeStruct(x.shape[:-1] + (tile,), x.dtype) for x in flat_in
-        ]
-        ckey = tuple((s.shape, str(s.dtype)) for s in tile_sds)
-        cached = trace_cache.get(ckey)
-        if cached is None:
+        def trace_at(t):
+            """Trace fn at tile width t (cached); returns the trace triple."""
+            sds = [
+                jax.ShapeDtypeStruct(x.shape[:-1] + (t,), x.dtype)
+                for x in tree.tree_leaves(args)
+            ]
+            key = tuple((s.shape, str(s.dtype)) for s in sds)
+            cached = trace_cache.get(key)
+            if cached is not None:
+                return cached
             token = IN_PALLAS.set(True)
             try:
-                cj = jax.make_jaxpr(flat_fn)(*tile_sds)
+                cj = jax.make_jaxpr(
+                    lambda *ls: fn(*tree.tree_unflatten(in_tree0, ls))
+                )(*sds)
             finally:
                 IN_PALLAS.reset(token)
             # Consts MUST be host numpy, never jnp: the first call at a tile
@@ -132,9 +180,34 @@ def fuse(fn, lanes: int = LANE_BUDGET):
                 c.reshape(c.shape + (1,) * max(0, 2 - c.ndim)) for c in consts
             ]
             const_shapes = [c.shape for c in consts]
-            trace_cache[ckey] = (cj, consts2d, const_shapes)
-        else:
-            cj, consts2d, const_shapes = cached
+            trace_cache[key] = (cj, consts2d, const_shapes)
+            return trace_cache[key]
+
+        _, in_tree0 = tree.tree_flatten(args)
+
+        # per-op tile sizing: probe-trace at 128 lanes, liveness-estimate the
+        # scoped-VMEM bytes, and scale the tile so the estimate stays within
+        # budget. Wide ops (G2 point adds: ~27 live coordinate/carry arrays)
+        # get narrow tiles; 2-ary field ops keep the full cap.
+        skey = tuple((x.shape[:-1], str(x.dtype)) for x in leaves)
+        tile = tile_cache.get(skey)
+        if tile is None:
+            probe, _, _ = trace_at(128)
+            per_lane = max(1, _peak_live_bytes(probe) // 128)
+            tile = max(128, (VMEM_BUDGET_BYTES // per_lane) // 128 * 128)
+            tile_cache[skey] = tile
+        tile = min(tile, tile_cap)
+        tile = min(tile, -(-N // 128) * 128)
+        grid_n = -(-N // tile)
+        Np = grid_n * tile
+        args_p = tree.tree_map(lambda x: _pad_to(x, Np), args)
+        out_sd = jax.eval_shape(fn, *args_p)
+        flat_in, _ = tree.tree_flatten(args_p)
+
+        # Pallas forbids captured constants (modulus limbs, ...): trace fn
+        # at TILE shape with the in-kernel math variant selected, pull the
+        # jaxpr's constants out, and feed them back as explicit kernel refs.
+        cj, consts2d, const_shapes = trace_at(tile)
 
         kw = {"memory_space": vmem} if vmem is not None else {}
 

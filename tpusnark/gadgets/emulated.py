@@ -127,6 +127,37 @@ class EmulatedField:
     def div(self, a: EmuElement, b: EmuElement) -> EmuElement:
         return self.mul(a, self.inverse(b))
 
+    def div_unchecked(self, a: EmuElement, b: EmuElement) -> EmuElement:
+        """q with b*q == a (hint-supplied a/b). Unlike div(), b == 0 does
+        NOT make the circuit unsatisfiable as long as a == 0 too (q is then
+        unconstrained) — the branch-safe division complete point addition
+        needs (reference discipline: std/math/emulated Div vs DivUnchecked
+        in std/algebra, /root/reference/std/algebra/emulated/sw_emulated/
+        point.go AddUnified)."""
+        r = self.pr.modulus
+        k = self.pr.n_limbs
+
+        def div_hint(p, ins):
+            av = self.pr.recompose(ins[:k]) % r
+            bv = self.pr.recompose(ins[k:]) % r
+            q = av * pow(bv, r - 2, r) % r if bv else 0
+            return self.pr.decompose(q)
+
+        a = self.reduce(a) if a.overflow else a
+        b = self.reduce(b) if b.overflow else b
+        outs = self.api.new_hint(div_hint, k, *a.limbs, *b.limbs)
+        q = self.from_limbs(outs)
+        self.assert_is_equal(self._mul_reduced(b, q), a)
+        return q
+
+    def select(self, cond, a: EmuElement, b: EmuElement) -> EmuElement:
+        """cond ? a : b, limb-wise native selects (cond a native boolean)."""
+        a = self.reduce(a) if a.overflow else a
+        b = self.reduce(b) if b.overflow else b
+        return EmuElement(
+            [self.api.select(cond, x, y) for x, y in zip(a.limbs, b.limbs)], 0
+        )
+
     # ------------------------------------------------------------ reduction
     def reduce(self, a: EmuElement) -> EmuElement:
         """Re-normalize: hint (q, rem) with value(a) == q*r + rem, rem in

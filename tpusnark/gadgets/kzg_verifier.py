@@ -35,10 +35,19 @@ class KZGVerifier:
         z and y are NATIVE circuit variables (fr scalars)."""
         api, curve, pg = self.api, self.curve, self.pg
         nbits = BN254_G1.order.bit_length()
-        yG = curve.scalar_mul(curve.generator(), api.to_binary(y, nbits))
-        zH = curve.scalar_mul(EmuPoint(proof.x, proof.y), api.to_binary(z, nbits))
+        # flagged scalar muls: y == 0 or z == 0 are legitimate openings
+        # (advisor r3 medium — the unflagged ladder was unsatisfiable there)
+        yG, yz = curve.scalar_mul_flagged(curve.generator(), api.to_binary(y, nbits))
+        zH, zz = curve.scalar_mul_flagged(
+            EmuPoint(proof.x, proof.y), api.to_binary(z, nbits)
+        )
         C = EmuPoint(commitment.x, commitment.y)
-        lhs = curve.add_unsafe(curve.add_unsafe(C, curve.neg(yG)), zH)
+        t, t_z = curve.add_unified(C, curve.neg(yG), 0, yz)
+        lhs, lhs_z = curve.add_unified(t, zH, t_z, zz)
+        # lhs == O would mean C - y[1] + zH = O; the affine pairing gadget
+        # cannot take the identity — constrain it away (honest openings of a
+        # nonzero commitment never hit it)
+        api.assert_is_equal(lhs_z, 0)
         neg_proof = G1Point(proof.x, pg.F.neg(proof.y))
         pg.pairing_check(
             [

@@ -157,6 +157,7 @@ class PairingGadget(Fp12Tower):
     def pairing_check(self, pairs: list[tuple[G1Point, G2Point]]):
         """Assert prod e(P_i, Q_i) == 1 — the form every pairing-based
         verifier reduces to (reference pairing.go PairingCheck)."""
+        assert pairs, "pairing_check needs at least one (G1, G2) pair"
         acc = None
         for P, Q in pairs:
             m = self.miller_loop(P, Q)

@@ -86,10 +86,17 @@ class Groth16Verifier:
         api, curve = self.api, self.curve
         nbits = BN_FR.bit_length()
         acc = curve.constant_point(*vk.k[0])
+        az = 0
         for w, pt in zip(public_inputs, vk.k[1:]):
             bits = api.to_binary(w, nbits)
-            term = curve.scalar_mul(curve.constant_point(*pt), bits)
-            acc = curve.add_unsafe(acc, term)
+            # flagged ops: a zero public input gives a flagged-zero term
+            # instead of an unsatisfiable AUX subtraction (advisor r3
+            # medium), and the chained accumulation tolerates collisions
+            term, tz = curve.scalar_mul_flagged(curve.constant_point(*pt), bits)
+            acc, az = curve.add_unified(acc, term, az, tz)
+        # ksum == identity cannot feed the affine pairing gadget; it needs
+        # K_0 + sum pub_i K_i = O — not reachable for an honest vk/input pair
+        api.assert_is_equal(az, 0)
         return acc
 
     def assert_proof(self, vk, proof: ProofVar, public_inputs):

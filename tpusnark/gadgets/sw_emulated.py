@@ -134,6 +134,64 @@ class EmulatedCurve:
                 cur = self.double(cur)
         return self.add_unsafe(acc, self.neg(aux))
 
+    # ------------------------------------------------- complete (flagged) ops
+    def zero_point(self) -> EmuPoint:
+        """Canonical coordinates for the flagged identity: (0, 0). Not on
+        the curve — only ever used behind a zero flag."""
+        return EmuPoint(self.F.constant(0), self.F.constant(0))
+
+    def add_unified(self, P: EmuPoint, Q: EmuPoint, pz=0, qz=0):
+        """Complete flagged addition -> (R, rz). Handles P == Q (doubling),
+        P == -Q (identity result), and identity operands via pz/qz flags
+        (native booleans; 0 for known-nonzero points).
+
+        Uses the Brier-Joye unified slope lam = (x1^2 + x1 x2 + x2^2 + a) /
+        (y1 + y2), valid whenever y1 + y2 != 0 — one formula for both add
+        and double. When y1 + y2 == 0 (P == -Q, or 2-torsion doubling) the
+        numerator is zeroed so div_unchecked stays satisfiable and the
+        garbage result is selected away by the rz flag. The reference's
+        counterpart is sw_emulated.AddUnified
+        (/root/reference/std/algebra/emulated/sw_emulated/point.go)."""
+        api, F = self.api, self.F
+        x1, y1, x2, y2 = P.x, P.y, Q.x, Q.y
+        ysum = F.add(y1, y2)
+        bad = F.is_zero(ysum)
+        num = F.add(F.add(F.mul(x1, x1), F.mul(x1, x2)), F.mul(x2, x2))
+        if self.spec.a:
+            num = F.add(num, F.constant(self.spec.a))
+        num = F.select(bad, F.constant(0), num)
+        lam = F.div_unchecked(num, ysum)
+        xr = F.sub(F.sub(F.mul(lam, lam), x1), x2)
+        yr = F.sub(F.mul(lam, F.sub(x1, xr)), y1)
+        Rc = EmuPoint(xr, yr)
+        # result flags/coords: identity operands pass the other point
+        # through; annihilation (x1 == x2 and y1 + y2 == 0, both nonzero)
+        # yields the flagged identity
+        ex = F.is_zero(F.sub(x1, x2))
+        annihilate = api.and_(ex, bad)
+        both_live = api.and_(api.sub(1, pz), api.sub(1, qz))
+        rz = api.or_(api.and_(pz, qz), api.and_(both_live, annihilate))
+        R = self.select(pz, Q, self.select(qz, P, Rc))
+        R = self.select(rz, self.zero_point(), R)
+        return R, rz
+
+    def scalar_mul_flagged(self, P: EmuPoint, scalar_bits):
+        """[s]P -> (R, rz) with rz = 1 when s == 0 (the case scalar_mul's
+        final AUX subtraction would make unsatisfiable — advisor r3 medium:
+        a zero scalar left acc == AUX and add_unsafe divided by zero)."""
+        aux = self.constant_point(*self._aux_point())
+        acc = aux
+        cur = P
+        for i, bit in enumerate(scalar_bits):
+            cand = self.add_unsafe(acc, cur)
+            acc = self.select(bit, cand, acc)
+            if i + 1 < len(scalar_bits):
+                cur = self.double(cur)
+        # acc == AUX exactly when s == 0 (mod collisions, see scalar_mul
+        # docstring); the unified subtraction turns that into a flag instead
+        # of an unsatisfiable division
+        return self.add_unified(acc, self.neg(aux))
+
     def _aux_point(self):
         """A fixed curve point unrelated to the generator (hash-to-curve by
         incrementing x until on curve, computed at circuit-build time)."""

@@ -30,7 +30,25 @@ from .domain import Domain, bit_reverse_perm
 
 
 class NTT:
-    """Device NTT bound to (FieldSpec, n). Twiddle tables live on device."""
+    """Device NTT bound to (FieldSpec, n). Twiddle tables live on device.
+
+    Two regimes:
+      * n < FOUR_STEP_MIN: iterative last-axis DIT butterflies (_stages).
+      * n >= FOUR_STEP_MIN: single-chip FOUR-STEP decomposition n = n1 x n2
+        (the on-chip analog of parallel/sharding.ShardedNTT; reference
+        counterpart: fft.Domain's any-n FFT used by computeH,
+        /root/reference/backend/groth16/bn254/prove.go:353-396).
+
+        Why: TPU arrays are tiled (8, 128) over the two minor dims. A
+        last-axis butterfly at stage s has a trailing dim of 2^s; for
+        2^s < 128 every intermediate is padded up to 16x, and at n = 2^22
+        the padded stage buffers (2 GB each) OOMed the 16 GB chip. In the
+        four-step form every butterfly runs along axis -2 of a
+        (..., sub_n, batch) array whose minor dim is n2 or n1 (>= 2^8), so
+        nothing ever pads, and peak HBM is a handful of (L, n) buffers.
+    """
+
+    FOUR_STEP_MIN = 1 << 16
 
     def __init__(self, spec: FieldSpec, n: int):
         self.spec = spec
@@ -40,25 +58,62 @@ class NTT:
         self.domain = Domain(spec, n)
         f = self.field
         d = self.domain
-        # (L, n/2) Montgomery twiddles: w^j and w^-j for j < n/2
-        if n > 1:
-            self._tw_fwd = f.array(d.powers[: n // 2])
-            self._tw_inv = f.array(d.powers_inv[: n // 2])
-        self._bitrev = jnp.asarray(bit_reverse_perm(n))
+        # Packed per-stage twiddle tables, (L, n-1) Montgomery: stage s
+        # (half = 2^s) occupies columns [2^s - 1, 2^(s+1) - 1) and holds
+        # w^(j * (n >> (s+1))) for j < 2^s. Packing makes every stage's
+        # twiddle row a CONTIGUOUS static slice — the previous strided slice
+        # of one (L, n/2) table forced XLA:TPU to stage the whole table
+        # through scoped VMEM per stage (16 MB limit, OOM at n >= 2^20).
+        if 1 < n < self.FOUR_STEP_MIN:
+            p = spec.modulus
+            w = d.generator
+            w_inv = pow(w, -1, p)
+
+            def packed(base):
+                out = []
+                for s in range(self.k):
+                    half = 1 << s
+                    step = pow(base, n >> (s + 1), p)
+                    v = 1
+                    for _ in range(half):
+                        out.append(v)
+                        v = v * step % p
+                return out
+
+            self._tw_fwd = f.array(packed(w))
+            self._tw_inv = f.array(packed(w_inv))
+            self._bitrev = jnp.asarray(bit_reverse_perm(n))
         self._n_inv = f.const(d.n_inv, mont=True)
         # coset scale tables (shift^i, and shift^-i pre-scaled by nothing)
         self._coset = None
         self._coset_inv = None
-        # jit the public entry points (one compile per input shape).
-        # coset variants take the tables as arguments so the lazy table build
-        # happens outside any trace (no leaked tracers).
-        self.ntt = jax.jit(self.ntt)
-        self.intt = jax.jit(self.intt)
+        # four-step split (large n): n1 >= n2, sub-transforms reuse the
+        # cached NTT engines (Domain guarantees generator(n_sub) = w^(n/n_sub))
+        if n >= self.FOUR_STEP_MIN:
+            k1 = (self.k + 1) // 2
+            self.n1, self.n2 = 1 << k1, n >> k1
+            self._sub1 = get_ntt(spec, self.n1)
+            self._sub2 = get_ntt(spec, self.n2)
+            self._twmat = None  # (fwd, inv) built lazily on device
+            run, irun = self._ntt4_run, self._intt4_run
+        else:
+            run, irun = self._ntt_run, self._intt_run
+        # jit the entry points (one compile per input shape). ALL large
+        # tables (twiddles, coset powers) are passed as ARGUMENTS, never
+        # closed over: a closed-over device array becomes an XLA constant,
+        # and the per-stage slice+broadcast of a constant twiddle table gets
+        # constant-folded into 22 distinct (L, n/2) literals — ~3 GB of HBM
+        # at n = 2^22, which OOMed the 16 GB chip in round 3. As arguments
+        # the broadcasts stay runtime ops (transient, bandwidth-cheap).
+        self._ntt_j = jax.jit(run)
+        self._intt_j = jax.jit(irun)
         self._ntt_coset_j = jax.jit(
-            lambda x, cs: self.ntt(self.field.mul(x, self._bcast_table(cs, x)))
+            lambda x, tw, cs: run(self.field.mul(x, self._bcast_table(cs, x)), tw)
         )
         self._intt_coset_j = jax.jit(
-            lambda x, csi: self.field.mul(self.intt(x), self._bcast_table(csi, x))
+            lambda x, tw, csi: self.field.mul(
+                irun(x, tw), self._bcast_table(csi, x)
+            )
         )
 
     # lazily built: only provers that do coset evaluations pay for these
@@ -95,13 +150,13 @@ class NTT:
         for s in range(self.k):
             half = 1 << s
             groups = n // (2 * half)
-            stride = n >> (s + 1)
             v = x.reshape(shp + (groups, 2, half))
             e = v[..., 0, :].reshape(shp + (n // 2,))
             o = v[..., 1, :].reshape(shp + (n // 2,))
-            # per-stage twiddle row: w^(j*stride) for j < half, tiled across
-            # groups -> (L, n/2); transient materialization, bandwidth-cheap
-            tw = jax.lax.slice_in_dim(table, 0, half * stride, stride, axis=1)
+            # per-stage twiddle row: contiguous slice of the packed table
+            # (see __init__), tiled across groups -> (L, n/2); transient
+            # materialization, bandwidth-cheap
+            tw = jax.lax.slice_in_dim(table, half - 1, 2 * half - 1, 1, axis=1)
             tw_full = jnp.broadcast_to(
                 tw[:, None, :], (f.n, groups, half)
             ).reshape(f.n, n // 2)
@@ -116,21 +171,113 @@ class NTT:
         """(L, n) table -> broadcastable against x (L, *batch, n)."""
         return tbl.reshape((self.field.n,) + (1,) * (x.ndim - 2) + (self.n,))
 
+    # -------------------------------------------------------- four-step (big n)
+    def _stages_mid(self, x, table, k: int):
+        """DIT butterflies along axis -2 of x (L, *mid, A, B), pre-bit-
+        reversed along that axis; twiddles from the sub-NTT's packed table.
+        The minor axis B rides along untouched, so every intermediate keeps
+        a large trailing dim (TPU layout-friendly; see class docstring)."""
+        f = self.field
+        L = f.n
+        *lead, A, B = x.shape
+        mid = tuple(lead[1:])
+        for s in range(k):
+            half = 1 << s
+            groups = A // (2 * half)
+            v = x.reshape((L,) + mid + (groups, 2, half, B))
+            e = v[..., 0, :, :]  # (L, *mid, groups, half, B)
+            o = v[..., 1, :, :]
+            tw = jax.lax.slice_in_dim(table, half - 1, 2 * half - 1, 1, axis=1)
+            twf = jnp.broadcast_to(
+                tw.reshape((L,) + (1,) * len(mid) + (1, half, 1)), e.shape
+            )
+            # flatten to (L, N) around the field ops: the Pallas batch tiler
+            # budgets VMEM by the trailing axis and keeps leading dims whole
+            t = f.mul(o.reshape(L, -1), twf.reshape(L, -1))
+            ef = e.reshape(L, -1)
+            aa = f.add(ef, t).reshape(e.shape)
+            bb = f.sub(ef, t).reshape(e.shape)
+            x = jnp.stack([aa, bb], axis=-3).reshape((L,) + mid + (A, B))
+        return x
+
+    def _twmats(self):
+        """(fwd, inv) four-step twiddle matrices w^(+-k1*j2), (L, n1, n2)
+        Montgomery, built ON DEVICE by a scan (n total muls — a host build
+        would be 2n Python modmuls + a 4M-element encode at n = 2^22)."""
+        if self._twmat is None:
+            f, p = self.field, self.spec.modulus
+            w = self.domain.generator
+
+            def build(base):
+                step = f.array([pow(base, k1, p) for k1 in range(self.n1)])
+                col0 = f.array([1] * self.n1)
+
+                def run(c0, st):
+                    def body(c, _):
+                        return f.mul(c, st), c
+
+                    _, cols = jax.lax.scan(body, c0, None, length=self.n2)
+                    return jnp.moveaxis(cols, 0, -1)  # (L, n1, n2)
+
+                return jax.jit(run)(col0, step)
+
+            self._twmat = (build(w), build(pow(w, -1, p)))
+        return self._twmat
+
+    def _fwd_tables(self):
+        if self.n >= self.FOUR_STEP_MIN:
+            return (self._sub1._tw_fwd, self._sub2._tw_fwd, self._twmats()[0])
+        return self._tw_fwd
+
+    def _inv_tables(self):
+        if self.n >= self.FOUR_STEP_MIN:
+            return (self._sub1._tw_inv, self._sub2._tw_inv, self._twmats()[1])
+        return self._tw_inv
+
+    def _ntt4_run(self, x, tables):
+        """Four-step NTT: X[k1 + n1*k2] = NTT2_{j2->k2}( w^(k1*j2) *
+        NTT1_{j1->k1}( x[j1*n2 + j2] ) ). Output in natural order."""
+        t1, t2, tm = tables
+        f = self.field
+        L = f.n
+        n1, n2 = self.n1, self.n2
+        shp = x.shape[:-1]
+        y = x.reshape(shp + (n1, n2))
+        y = jnp.take(y, self._sub1._bitrev, axis=-2)
+        y = self._stages_mid(y, t1, self._sub1.k)  # [k1, j2]
+        tmb = jnp.broadcast_to(
+            tm.reshape((L,) + (1,) * (len(shp) - 1) + (n1, n2)), y.shape
+        )
+        y = f.mul(y.reshape(L, -1), tmb.reshape(L, -1)).reshape(y.shape)
+        y = jnp.swapaxes(y, -1, -2)  # (..., n2, n1) [j2, k1]
+        y = jnp.take(y, self._sub2._bitrev, axis=-2)
+        y = self._stages_mid(y, t2, self._sub2.k)  # [k2, k1]
+        return y.reshape(shp + (self.n,))  # k = k1 + n1*k2 = row-major flatten
+
+    def _intt4_run(self, x, tables):
+        f = self.field
+        y = self._ntt4_run(x, tables)
+        return f.mul(y, f.broadcast_const(self._n_inv, y))
+
+    def _ntt_run(self, x, table):
+        return self._stages(x[..., self._bitrev], table)
+
+    def _intt_run(self, x, table):
+        f = self.field
+        x = self._stages(x[..., self._bitrev], table)
+        return f.mul(x, f.broadcast_const(self._n_inv, x))
+
     def ntt(self, x):
         """coefficients -> evaluations on the subgroup (natural order)."""
         if self.n == 1:
             return x
-        x = x[..., self._bitrev]
-        return self._stages(x, self._tw_fwd)
+        return self._ntt_j(x, self._fwd_tables())
 
     def intt(self, x):
         """evaluations (natural order) -> coefficients."""
         if self.n == 1:
             return x
-        f = self.field
-        x = x[..., self._bitrev]
-        x = self._stages(x, self._tw_inv)
-        return f.mul(x, f.broadcast_const(self._n_inv, x))
+        return self._intt_j(x, self._inv_tables())
 
     def coset_scale(self, x, inv: bool = False):
         """Multiply coefficient i by shift^i (or shift^-i)."""
@@ -139,13 +286,17 @@ class NTT:
 
     def ntt_coset(self, x):
         """coefficients -> evaluations on the coset shift*<w>."""
+        if self.n == 1:
+            return x
         cs, _ = self._coset_tables()
-        return self._ntt_coset_j(x, cs)
+        return self._ntt_coset_j(x, self._fwd_tables(), cs)
 
     def intt_coset(self, x):
         """evaluations on the coset -> coefficients."""
+        if self.n == 1:
+            return x
         _, csi = self._coset_tables()
-        return self._intt_coset_j(x, csi)
+        return self._intt_coset_j(x, self._inv_tables(), csi)
 
 
 @functools.lru_cache(maxsize=None)

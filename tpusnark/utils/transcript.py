@@ -36,7 +36,10 @@ import hashlib
 
 
 class Transcript:
-    def __init__(self, challenge_names: list[str]):
+    def __init__(self, challenge_names: list[str], hash_factory=None):
+        # hash_factory: () -> hashlib-like object (gnark
+        # WithProverChallengeHashFunction, backend.go:74); default SHA-256
+        self._hash = hash_factory or hashlib.sha256
         self._names = list(challenge_names)
         self._order = {n: i for i, n in enumerate(challenge_names)}
         self._bindings: dict[str, list[bytes]] = {n: [] for n in challenge_names}
@@ -52,7 +55,7 @@ class Transcript:
         if challenge in self._values:
             return self._values[challenge]
         idx = self._order[challenge]
-        h = hashlib.sha256()
+        h = self._hash()
         h.update(challenge.encode())
         if idx > 0:
             prev = self._names[idx - 1]
@@ -81,14 +84,19 @@ def g1_bytes(pt) -> bytes:
 
 
 def kzg_fold_challenge(
-    point: int, digests: list, claimed_values: list[int], extra: list[bytes], r: int
+    point: int,
+    digests: list,
+    claimed_values: list[int],
+    extra: list[bytes],
+    r: int,
+    hash_factory=None,
 ) -> int:
     """gnark-crypto kzg.deriveGamma: a fresh single-challenge transcript
     "gamma" binding point.Marshal() || each digest.Marshal() || each claimed
     value.Marshal() || extra transcript data, hashed with the KZGFoldingHash
     (default SHA-256). Used by BatchOpenSinglePoint / FoldProof on both
     sides, so prover and verifier MUST call this with identical arguments."""
-    tr = Transcript(["gamma"])
+    tr = Transcript(["gamma"], hash_factory=hash_factory)
     tr.bind("gamma", fr_bytes(point))
     for d in digests:
         tr.bind("gamma", g1_bytes(d))
