@@ -68,11 +68,15 @@ class ProvingKey:
             from ...curves.encoding import g1_to_device, g2_to_device
             from ...fields.jfield import get_field
 
-            fp = get_field(get_curve(self.curve).fp_spec)
+            cfg = get_curve(self.curve)
+            fp = get_field(cfg.fp_spec)
+            # BW6-761: G2 points have plain Fp coordinates (sextic twist
+            # over Fp) — encode them with the G1 layout
+            enc_g2 = g1_to_device if cfg.g2_over_fp else g2_to_device
             self._dev = {
                 "a": g1_to_device(self.a, fp),
                 "b1": g1_to_device(self.b1, fp),
-                "b2": g2_to_device(self.b2, fp),
+                "b2": enc_g2(self.b2, fp),
                 "k": g1_to_device(self.k, fp),
                 "z": g1_to_device(self.z, fp),
             }

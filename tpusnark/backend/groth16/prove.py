@@ -201,7 +201,12 @@ def prove(
 
     (ar_sum,) = g1_from_device_proj(ar_raw, fp)
     (bs1_sum,) = g1_from_device_proj(bs1_raw, fp)
-    (bs2_sum,) = g2_from_device_proj(bs2_raw, fp, fp2_cls=cfg.host.Fp2)
+    if cfg.g2_over_fp:
+        (bs2_sum,) = g1_from_device_proj(bs2_raw, fp)
+    else:
+        (bs2_sum,) = g2_from_device_proj(
+            bs2_raw, fp, fp2_cls=cfg.host.Fp2, q=cfg.fp2_q
+        )
     (krs_k_sum,) = g1_from_device_proj(krs_k, fp)
     if len(pk.z) == 0:
         # degenerate 1-constraint domain: deg(H) < 0, the Z table is empty

@@ -117,18 +117,26 @@ def _g2_many(scalars: list[int], use_device: bool, curve: str = "bn254"):
             G2h.mul(G2h.generator(), s) if s % cfg.host.R else None for s in scalars
         ]
     from ...curves.batch_mul import FixedBaseMul, g2_generator_ladder
-    from ...curves.encoding import g2_from_device_proj
-    from ...curves.jcurve import g2_ops
+    from ...curves.encoding import g1_from_device_proj, g2_from_device_proj
+    from ...curves.jcurve import g1_ops, g2_ops
     from ...fields.jfield import get_field
 
     fp = get_field(cfg.fp_spec)
     fr = get_field(cfg.fr_spec)
-    mul = FixedBaseMul(g2_ops(fp, b3=cfg.g2_b3), fr)
+    ops = (
+        g1_ops(fp, b=cfg.g2_b)
+        if cfg.g2_over_fp
+        else g2_ops(fp, b3=cfg.g2_b3, q=cfg.fp2_q)
+    )
+    mul = FixedBaseMul(ops, fr)
     table = g2_generator_ladder(fp, mul.n_bits, curve)
     import jax.numpy as jnp
 
     sc = jnp.asarray(fr.spec.encode(scalars, mont=False).T.copy())
-    return g2_from_device_proj(mul(table, sc), fp, fp2_cls=cfg.host.Fp2)
+    raw = mul(table, sc)
+    if cfg.g2_over_fp:
+        return g1_from_device_proj(raw, fp)
+    return g2_from_device_proj(raw, fp, fp2_cls=cfg.host.Fp2, q=cfg.fp2_q)
 
 
 def k_pk_wires_for(cs: ConstraintSystem) -> list[int]:

@@ -17,9 +17,17 @@ class InvalidProofError(Exception):
     pass
 
 
-def verify(proof: Proof, vk: VerifyingKey, public_inputs: list[int]) -> bool:
+def verify(
+    proof: Proof, vk: VerifyingKey, public_inputs: list[int], curve: str = "bn254"
+) -> bool:
     """public_inputs: values of the public wires EXCLUDING the constant-one
-    wire (gnark convention: witness.Public())."""
+    wire (gnark convention: witness.Public()).
+
+    curve: any CurveConfig name — the pairing check dispatches to that
+    curve's host module (reference curve switch groth16.go:113). BSB22
+    commitment sections are BN254-only (mirrors setup's assertion)."""
+    if curve != "bn254":
+        return _verify_any(proof, vk, public_inputs, curve)
     p = ref.R
     pubs = [1] + [int(x) % p for x in public_inputs]
     n_com = len(vk.public_and_commitment_committed)
@@ -78,3 +86,37 @@ def verify(proof: Proof, vk: VerifyingKey, public_inputs: list[int]) -> bool:
             (proof.krs, vk.delta_g2),
         ]
     )
+
+
+def _verify_any(proof, vk, public_inputs, curve: str) -> bool:
+    """Curve-generic Groth16 pairing check over the host module of `curve`
+    (handles both Fp2 G2 (BLS12) and Fp G2 (BW6-761) coordinates)."""
+    from ...curves.config import get_curve
+
+    host = get_curve(curve).host
+    G1h, G2h = host.G1, host.G2
+    p = host.R
+    pubs = [1] + [int(x) % p for x in public_inputs]
+    if len(pubs) != len(vk.k):
+        raise InvalidProofError(
+            f"wrong number of public inputs: got {len(pubs) - 1}, "
+            f"want {len(vk.k) - 1}"
+        )
+    for pt in (proof.ar, proof.krs):
+        if not G1h.is_on_curve(pt):
+            raise InvalidProofError("proof point not on curve")
+    if not G2h.in_subgroup(proof.bs):
+        raise InvalidProofError("proof point not in G2 subgroup")
+    ksum = None
+    for w, pt in zip(pubs, vk.k):
+        if pt is None or w == 0:
+            continue
+        ksum = G1h.add(ksum, G1h.mul(pt, w))
+    return host.multi_pairing(
+        [
+            (G1h.neg(proof.ar), proof.bs),
+            (vk.alpha_g1, vk.beta_g2),
+            (ksum, vk.gamma_g2),
+            (proof.krs, vk.delta_g2),
+        ]
+    ).is_one()

@@ -111,6 +111,14 @@ def _host_mod(curve: str):
         from . import ref
 
         return ref
+    if curve == "bls12-377":
+        from . import bls12377
+
+        return bls12377
+    if curve == "bw6-761":
+        from . import bw6761
+
+        return bw6761
     from . import bls12381
 
     return bls12381
@@ -147,6 +155,8 @@ def _g2_ladder_host(n_bits: int, curve: str = "bn254"):
 
 def g2_generator_ladder(fp: Field, n_bits: int, curve: str = "bn254"):
     pts = _g2_ladder_host(n_bits, curve)
+    if isinstance(pts[0][0], int):  # g2-over-fp curve (BW6-761)
+        return (fp.array([pt[0] for pt in pts]), fp.array([pt[1] for pt in pts]))
     X = (fp.array([pt[0].c0 for pt in pts]), fp.array([pt[0].c1 for pt in pts]))
     Y = (fp.array([pt[1].c0 for pt in pts]), fp.array([pt[1].c1 for pt in pts]))
     return (X, Y)

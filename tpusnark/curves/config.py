@@ -13,7 +13,17 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from functools import lru_cache
 
-from ..fields.spec import BLS12_381_FP, BLS12_381_FR, BN254_FP, BN254_FR, FieldSpec
+from ..fields.spec import (
+    BLS12_377_FP,
+    BLS12_377_FR,
+    BLS12_381_FP,
+    BLS12_381_FR,
+    BN254_FP,
+    BN254_FR,
+    BW6_761_FP,
+    BW6_761_FR,
+    FieldSpec,
+)
 
 
 @dataclass(frozen=True)
@@ -23,6 +33,12 @@ class CurveConfig:
     fp_spec: FieldSpec
     g1_b: int  # G1: y^2 = x^3 + b
     g2_b3: tuple  # (c0, c1): 3 * b'' of the twist, as Fp2 ints
+    # Fp2 = Fp[u]/(u^2 + fp2_q): 1 for BN254/BLS12-381, 5 for BLS12-377
+    fp2_q: int = 1
+    # BW6-761: embedding degree 6, G2 is a sextic twist over Fp ITSELF —
+    # G2 arithmetic is then G1-style FpArith with b = g2_b (no Fp2)
+    g2_over_fp: bool = False
+    g2_b: int = 0
 
     @property
     def host(self):
@@ -35,6 +51,14 @@ class CurveConfig:
             from . import bls12381
 
             return bls12381
+        if self.name == "bls12-377":
+            from . import bls12377
+
+            return bls12377
+        if self.name == "bw6-761":
+            from . import bw6761
+
+            return bw6761
         raise ValueError(f"unknown curve {self.name}")
 
 
@@ -65,4 +89,30 @@ def get_curve(name: str = "bn254") -> CurveConfig:
             g1_b=4,
             g2_b3=(12, 12),
         )
-    raise ValueError(f"unknown curve {name} (supported: bn254, bls12-381)")
+    if name == "bls12-377":
+        from .bls12377 import P as P377
+
+        # G1: y^2 = x^3 + 1; twist (D-type): y^2 = x^3 + 1/u over u^2 = -5
+        # 3/u = 3 * (-u/5) = (0, -3/5)
+        inv5 = pow(5, -1, P377)
+        return CurveConfig(
+            name="bls12-377",
+            fr_spec=BLS12_377_FR,
+            fp_spec=BLS12_377_FP,
+            g1_b=1,
+            g2_b3=(0, (-3 * inv5) % P377),
+            fp2_q=5,
+        )
+    if name == "bw6-761":
+        return CurveConfig(
+            name="bw6-761",
+            fr_spec=BW6_761_FR,
+            fp_spec=BW6_761_FP,
+            g1_b=-1,  # y^2 = x^3 - 1; mul_b3 uses -3 via mul_const
+            g2_b3=(),
+            g2_over_fp=True,
+            g2_b=4,
+        )
+    raise ValueError(
+        f"unknown curve {name} (supported: bn254, bls12-381, bls12-377, bw6-761)"
+    )

@@ -82,10 +82,10 @@ def g1_from_device_proj(pt, fp: Field | None = None):
     return out
 
 
-def g2_from_device_proj(pt, fp: Field | None = None, fp2_cls=None):
+def g2_from_device_proj(pt, fp: Field | None = None, fp2_cls=None, q: int = 1):
     """fp2_cls: the host Fp2 class for the output points (defaults to the
     BN254 one; pass curves.bls12381.Fp2 for BLS12-381). The projective
-    inverse itself is computed generically over Fp[u]/(u^2+1)."""
+    inverse is over Fp[u]/(u^2 + q) (q = 5 for BLS12-377)."""
     fp = fp or get_field(BN254_FP)
     fp2_cls = fp2_cls or Fp2
     p = fp.spec.modulus
@@ -102,15 +102,15 @@ def g2_from_device_proj(pt, fp: Field | None = None, fp2_cls=None):
         if a == 0 and b == 0:
             out.append(None)
             continue
-        # (a + bu)^-1 = (a - bu) / (a^2 + b^2)  over u^2 = -1
-        d = pow((a * a + b * b) % p, -1, p)
+        # (a + bu)^-1 = (a - bu) / (a^2 + q b^2)  over u^2 = -q
+        d = pow((a * a + q * b * b) % p, -1, p)
         za, zb = a * d % p, (-b) * d % p
         xi0, xi1 = x0[i] % p, x1[i] % p
         yi0, yi1 = y0[i] % p, y1[i] % p
         out.append(
             (
-                fp2_cls((xi0 * za - xi1 * zb) % p, (xi0 * zb + xi1 * za) % p),
-                fp2_cls((yi0 * za - yi1 * zb) % p, (yi0 * zb + yi1 * za) % p),
+                fp2_cls((xi0 * za - q * xi1 * zb) % p, (xi0 * zb + xi1 * za) % p),
+                fp2_cls((yi0 * za - q * yi1 * zb) % p, (yi0 * zb + yi1 * za) % p),
             )
         )
     return out

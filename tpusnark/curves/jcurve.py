@@ -96,11 +96,27 @@ class FpArith:
 
 
 class Fp2Arith:
-    """Fp2 = Fp[u]/(u^2+1); elements are (c0, c1) tuples of Fp limb arrays."""
+    """Fp2 = Fp[u]/(u^2 + q); elements are (c0, c1) tuples of Fp limb arrays.
 
-    def __init__(self, field: Field, b3_fp2: tuple[int, int]):
+    q = 1 for BN254/BLS12-381 (u^2 = -1), q = 5 for BLS12-377 (u^2 = -5);
+    kept small so q*t1 is an add chain, never a Montgomery mul."""
+
+    def __init__(self, field: Field, b3_fp2: tuple[int, int], q: int = 1):
         self.f = field
         self._b3 = b3_fp2  # (c0, c1) python ints, normal form
+        assert q in (1, 2, 5), "small nonresidue expected"
+        self.q = q
+
+    def _mul_q(self, x):
+        """q * x via lazy adds (q is 1, 2 or 5)."""
+        f = self.f
+        if self.q == 1:
+            return x
+        x2 = f.add(x, x)
+        if self.q == 2:
+            return x2
+        x4 = f.add(x2, x2)
+        return f.add(x4, x)
 
     def add(self, a, b):
         return (self.f.add(a[0], b[0]), self.f.add(a[1], b[1]))
@@ -136,7 +152,7 @@ class Fp2Arith:
         B = jnp.concatenate([b0, b1, bsum], axis=1)
         T = f.mul(A, B)  # (L, 3k, *batch)
         t0, t1, t2 = T[:, :k], T[:, k : 2 * k], T[:, 2 * k :]
-        c0 = f.sub(t0, t1)
+        c0 = f.sub(t0, self._mul_q(t1))
         c1 = f.sub(t2, f.add(t0, t1))
         return [(c0[:, i], c1[:, i]) for i in range(k)]
 
@@ -350,9 +366,13 @@ def _g2_b3(field_fp: Field) -> tuple[int, int]:
     return (b3.c0, b3.c1)
 
 
-def g2_ops(field_fp: Field, b3: tuple[int, int] | None = None) -> CurveOps:
-    return CurveOps(Fp2Arith(field_fp, b3 or _g2_b3(field_fp)))
+def g2_ops(
+    field_fp: Field, b3: tuple[int, int] | None = None, q: int = 1
+) -> CurveOps:
+    return CurveOps(Fp2Arith(field_fp, b3 or _g2_b3(field_fp), q=q))
 
 
-def g2_ops_fused(field_fp: Field, b3: tuple[int, int] | None = None) -> CurveOps:
-    return FusedCurveOps(Fp2Arith(field_fp, b3 or _g2_b3(field_fp)))
+def g2_ops_fused(
+    field_fp: Field, b3: tuple[int, int] | None = None, q: int = 1
+) -> CurveOps:
+    return FusedCurveOps(Fp2Arith(field_fp, b3 or _g2_b3(field_fp), q=q))

@@ -142,6 +142,18 @@ BLS12_381_FP_MOD = 0x1A0111EA397FE69A4B1BA7B6434BACD764774B84F38512BF6730D2A0F6B
 BLS12_381_FR = FieldSpec("bls12_381_fr", BLS12_381_FR_MOD, 17)
 BLS12_381_FP = FieldSpec("bls12_381_fp", BLS12_381_FP_MOD, 24)
 
+# the native 2-chain (reference backend.go:28-33): BW6-761's scalar field IS
+# BLS12-377's base field, making BLS12-377 point arithmetic native inside
+# BW6-761 circuits (std/algebra/native)
+BLS12_377_FR_MOD = 0x12AB655E9A2CA55660B44D1E5C37B00159AA76FED00000010A11800000000001
+BLS12_377_FP_MOD = 0x01AE3A4617C510EAC63B05C06CA1493B1A22D9F300F5138F1EF3622FBA094800170B5D44300000008508C00000000001
+BW6_761_FP_MOD = 0x122E824FB83CE0AD187C94004FAFF3EB926186A81D14688528275EF8087BE41707BA638E584E91903CEBAFF25B423048689C8ED12F9FD9071DCD3DC73EBFF2E98A116C25667A8F8160CF8AEEAF0A437E6913E6870000082F49D00000000008B
+
+BLS12_377_FR = FieldSpec("bls12_377_fr", BLS12_377_FR_MOD, 16)
+BLS12_377_FP = FieldSpec("bls12_377_fp", BLS12_377_FP_MOD, 24)
+BW6_761_FR = FieldSpec("bw6_761_fr", BLS12_377_FP_MOD, 24)  # = BLS12-377 Fp
+BW6_761_FP = FieldSpec("bw6_761_fp", BW6_761_FP_MOD, 48)
+
 # Tiny field for exhaustive kernel tests — the analog of gnark's generated
 # tinyfield (modulus 0x2f) at /root/reference/internal/tinyfield/
 # (generated by internal/generator/backend/main.go:66-79).

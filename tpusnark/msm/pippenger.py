@@ -55,11 +55,13 @@ def get_msm(curve: str = "g1", c: int = 13, curve_name: str = "bn254") -> "MSM":
     cfg = get_curve(curve_name)
     fp = get_field(cfg.fp_spec)
     fr = get_field(cfg.fr_spec)
-    ops = (
-        g1_ops_fused(fp, b=cfg.g1_b)
-        if curve == "g1"
-        else g2_ops_fused(fp, b3=cfg.g2_b3)
-    )
+    if curve == "g1":
+        ops = g1_ops_fused(fp, b=cfg.g1_b)
+    elif cfg.g2_over_fp:
+        # BW6-761: G2 is a sextic twist over Fp itself -> G1-style kernels
+        ops = g1_ops_fused(fp, b=cfg.g2_b)
+    else:
+        ops = g2_ops_fused(fp, b3=cfg.g2_b3, q=cfg.fp2_q)
     return MSM(ops, fr, c=c)
 
 
