@@ -48,19 +48,31 @@ def _rand_scalars_dev(fr, n, seed=0):
     return jnp.asarray(arr)
 
 
-def _measure_mul_rate(fp, lanes: int = 1 << 20, reps: int = 5) -> float:
+def _measure_mul_rate(fp, lanes: int = 1 << 20) -> float:
     """Measured throughput (field muls/s) of the fused Montgomery mul at MSM
-    batch width on this chip — the roofline's only hardware input."""
+    batch width on this chip — the roofline's only hardware input.
+
+    Chained under jit and measured differentially (r40 - r10 reps) so
+    neither per-call dispatch latency nor the tunnel's host-copy cost
+    pollutes the rate (eager per-op timing measured dispatch, not compute)."""
     import jax
 
     a = _rand_scalars_dev(fp, lanes, seed=11)
     b = _rand_scalars_dev(fp, lanes, seed=12)
-    out = jax.block_until_ready(fp.mul(a, b))
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = jax.block_until_ready(fp.mul(out, b))
-    dt = (time.perf_counter() - t0) / reps
-    return lanes / dt
+    mulj = jax.jit(fp.mul)
+    jax.block_until_ready(mulj(a, b))
+
+    def chain(reps):
+        t0 = time.perf_counter()
+        o = a
+        for _ in range(reps):
+            o = mulj(o, b)
+        jax.block_until_ready(o)
+        return time.perf_counter() - t0
+
+    chain(10)
+    t10, t40 = chain(10), chain(40)
+    return 30 * lanes / max(t40 - t10, 1e-9)
 
 
 def bench_msm(log2n: int):

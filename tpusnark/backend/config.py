@@ -60,6 +60,9 @@ class ProverConfig:
     def with_challenge_hash(self, h) -> "ProverConfig":
         return dataclasses.replace(self, challenge_hash=h)
 
+    def with_kzg_fold_hash(self, h) -> "ProverConfig":
+        return dataclasses.replace(self, kzg_fold_hash=h)
+
     def with_accelerator(self, name: str) -> "ProverConfig":
         assert name in ("tpu", "host")
         return dataclasses.replace(self, accelerator=name)
@@ -75,6 +78,9 @@ class VerifierConfig:
 
     def with_challenge_hash(self, h) -> "VerifierConfig":
         return dataclasses.replace(self, challenge_hash=h)
+
+    def with_kzg_fold_hash(self, h) -> "VerifierConfig":
+        return dataclasses.replace(self, kzg_fold_hash=h)
 
 
 def resolve(config: ProverConfig | None, rng=None) -> ProverConfig:

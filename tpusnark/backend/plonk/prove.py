@@ -59,6 +59,106 @@ def _prefix_mul(x):
     return jax.lax.associative_scan(_fr.mul, x, axis=x.ndim - 1)
 
 
+# --- jitted device regions -------------------------------------------------
+# Over the remote-compile tunnel every eager op costs ~5-30 ms of dispatch;
+# the prover's array pipeline is hundreds of small ops, so wall-clock was
+# dispatch-bound (72 s for a 2^8 circuit). Grouping the two hottest regions
+# (grand product, quotient slices) into single jit programs turns each into
+# ONE dispatch; challenge scalars enter as (L,) Montgomery arrays so one
+# compiled program serves every proof of the same shape.
+
+
+@jax.jit
+def _grand_z_j(lro, id1, id2, id3, s1_t, s2_t, s3_t, gamma_m, beta_m):
+    """Grand-product Z evaluations (iop.BuildRatioCopyConstraint analog,
+    reference prove.go:600): prefix products + one batched inversion."""
+    f = _fr
+    n = lro.shape[-1]
+    gb = f.broadcast_const(gamma_m, lro[:, 0])
+
+    def lin(col, tbl):
+        return f.add(f.add(col, f.mul(f.broadcast_const(beta_m, tbl), tbl)), gb)
+
+    num = f.mul(f.mul(lin(lro[:, 0], id1), lin(lro[:, 1], id2)), lin(lro[:, 2], id3))
+    den = f.mul(f.mul(lin(lro[:, 0], s1_t), lin(lro[:, 1], s2_t)), lin(lro[:, 2], s3_t))
+    pnum = _prefix_mul(num)
+    pden = _prefix_mul(den)
+    zfull = f.mul(pnum, f.inv(pden))
+    one_col = f.broadcast_const(f.one, zfull[:, :1])
+    return jnp.concatenate([one_col, zfull[:, : n - 1]], axis=1)
+
+
+_slice_jit: dict = {}
+
+
+def _get_slice_jit(n: int):
+    """Jitted quotient-numerator slice evaluator for domain size n (the
+    rho-loop body, computeNumerator prove.go:980-1045): one dispatch per
+    coset slice instead of ~60."""
+    fn = _slice_jit.get(n)
+    if fn is not None:
+        return fn
+    ntt_n = get_ntt(BN254_FR, n)
+    f = _fr
+
+    def impl(polys, qs, ss, qcps, ccs, sc, omega_pows, tw, C):
+        def eval_slice(coeffs):
+            m = coeffs.shape[1]
+            base = coeffs[:, :n]
+            if m > n:
+                tail = jnp.pad(coeffs[:, n:], ((0, 0), (0, n - (m - n))))
+                base = f.add(base, f.mul(f.broadcast_const(C["xn"], tail), tail))
+            return ntt_n._ntt_run(f.mul(base, sc), tw)
+
+        lc = eval_slice(polys["l"])
+        rc = eval_slice(polys["r"])
+        oc = eval_slice(polys["o"])
+        zc = eval_slice(polys["z"])
+        zwc = eval_slice(polys["zw"])
+        pic = eval_slice(polys["pi"])
+        q = {k: eval_slice(v) for k, v in qs.items()}
+        s = {k: eval_slice(v) for k, v in ss.items()}
+        id1 = f.mul(f.broadcast_const(C["s_r"], omega_pows), omega_pows)
+        id2 = f.mul(f.broadcast_const(C["s_r_k1"], omega_pows), omega_pows)
+        id3 = f.mul(f.broadcast_const(C["s_r_k2"], omega_pows), omega_pows)
+        # L1 = (x^n - 1)/(n (x - 1)): coefficients are all 1/n
+        l1 = f.mul(f.broadcast_const(C["n_inv"], sc), ntt_n._ntt_run(sc, tw))
+
+        gate = f.add(
+            f.add(f.mul(q["ql"], lc), f.mul(q["qr"], rc)),
+            f.add(f.mul(q["qm"], f.mul(lc, rc)), f.add(f.mul(q["qo"], oc), q["qc"])),
+        )
+        gate = f.add(gate, pic)
+        for qcp_c, cc in zip(qcps, ccs):
+            gate = f.add(gate, f.mul(eval_slice(qcp_c), eval_slice(cc)))
+
+        gb4 = f.broadcast_const(C["gamma"], lc)
+
+        def lin4(col, tbl):
+            return f.add(
+                f.add(col, f.mul(f.broadcast_const(C["beta"], tbl), tbl)), gb4
+            )
+
+        perm_zw = f.mul(
+            f.mul(f.mul(lin4(lc, s["s1"]), lin4(rc, s["s2"])), lin4(oc, s["s3"])), zwc
+        )
+        perm_z = f.mul(f.mul(f.mul(lin4(lc, id1), lin4(rc, id2)), lin4(oc, id3)), zc)
+        perm = f.sub(perm_zw, perm_z)
+        l1_term = f.mul(l1, f.sub(zc, f.broadcast_const(f.one, zc)))
+        numer = f.add(
+            gate,
+            f.add(
+                f.mul(f.broadcast_const(C["a1"], perm), perm),
+                f.mul(f.broadcast_const(C["a2"], l1_term), l1_term),
+            ),
+        )
+        return f.mul(numer, f.broadcast_const(C["zh_inv"], numer))
+
+    fn = jax.jit(impl)
+    _slice_jit[n] = fn
+    return fn
+
+
 def prove(
     cs: SparseConstraintSystem,
     pk: PlonkProvingKey,
@@ -144,27 +244,17 @@ def prove(
     gamma = tr.challenge_int("gamma", p)
     beta = tr.challenge_int("beta", p)
 
-    # ---- 3. grand product Z --------------------------------------------------
-    gb = f.broadcast_const(f.const(gamma, mont=True), lro[:, 0])
+    # ---- 3. grand product Z (one jitted dispatch) ---------------------------
     bb = f.const(beta, mont=True)
-
-    def lin(col, tbl):
-        # col + beta*tbl + gamma  (all (L, n) Montgomery)
-        return f.add(f.add(col, f.mul(f.broadcast_const(bb, tbl), tbl)), gb)
-
     id1 = f.array(ntt_n.domain.powers)  # omega^i
     id2 = f.mul_const(id1, vk.k1)
     id3 = f.mul_const(id1, vk.k2)
     s1_t = f.array(pk.s_evals_int["s1"])
     s2_t = f.array(pk.s_evals_int["s2"])
     s3_t = f.array(pk.s_evals_int["s3"])
-    num = f.mul(f.mul(lin(lro[:, 0], id1), lin(lro[:, 1], id2)), lin(lro[:, 2], id3))
-    den = f.mul(f.mul(lin(lro[:, 0], s1_t), lin(lro[:, 1], s2_t)), lin(lro[:, 2], s3_t))
-    pnum = _prefix_mul(num)
-    pden = _prefix_mul(den)
-    zfull = f.mul(pnum, f.inv(pden))  # zfull[j] = prod_{i<=j} num/den
-    one_col = f.broadcast_const(f.one, zfull[:, :1])
-    z_evals = jnp.concatenate([one_col, zfull[:, : n - 1]], axis=1)
+    z_evals = _grand_z_j(
+        lro, id1, id2, id3, s1_t, s2_t, s3_t, f.const(gamma, mont=True), bb
+    )
     z_c = ntt_n.intt(z_evals)
     z_hat = _blind(z_c, [rand(), rand(), rand()], n)
     z_com = kzg.commit_dev(pk.srs, f.from_mont(z_hat))
@@ -194,71 +284,36 @@ def prove(
     a1 = f.const(alpha, mont=True)
     a2 = f.const(alpha * alpha % p, mont=True)
     n_inv_m = f.const(pow(n, -1, p), mont=True)
+    slice_fn = _get_slice_jit(n)
+    polys = {"l": l_hat, "r": r_hat, "o": o_hat, "z": z_hat, "zw": zw_hat, "pi": pi_hat}
+    tw_n = ntt_n._fwd_tables()
 
     def numerator_slice(r: int):
-        sc = pk.coset_scale[r]
         xn = pk.slice_xn[r]  # x^n on this slice (constant)
-        zh_inv = f.const(pow((xn - 1) % p, -1, p), mont=True)
-        xn_m = f.const(xn, mont=True)
-
-        def eval_slice(coeffs):
-            """coeffs (L, m), m <= n + 4: fold the tail with x^n = const,
-            scale by s_r^i, one size-n NTT."""
-            m = coeffs.shape[1]
-            base = coeffs[:, :n]
-            if m > n:
-                tail = jnp.pad(coeffs[:, n:], ((0, 0), (0, n - (m - n))))
-                base = f.add(base, f.mul(f.broadcast_const(xn_m, tail), tail))
-            return ntt_n.ntt(f.mul(base, sc))
-
-        lc = eval_slice(l_hat)
-        rc = eval_slice(r_hat)
-        oc = eval_slice(o_hat)
-        zc = eval_slice(z_hat)
-        zwc = eval_slice(zw_hat)
-        pic = eval_slice(pi_hat)
-        q = {k: eval_slice(v) for k, v in pk.q_coeffs.items()}
-        s = {k: eval_slice(v) for k, v in pk.s_coeffs.items()}
-        # id polys on the slice: x = s_r * omega^i; k1 x; k2 x
         s_r = pk.slice_shift[r]
-        id1 = f.mul(f.broadcast_const(f.const(s_r, mont=True), pk.omega_pows), pk.omega_pows)
-        id2 = f.mul(f.broadcast_const(f.const(s_r * vk.k1 % p, mont=True), pk.omega_pows), pk.omega_pows)
-        id3 = f.mul(f.broadcast_const(f.const(s_r * vk.k2 % p, mont=True), pk.omega_pows), pk.omega_pows)
-        # L1 = (x^n - 1)/(n (x - 1)): coefficients are all 1/n, so its slice
-        # evaluation is NTT(sc) * (1/n)
-        l1 = f.mul(f.broadcast_const(n_inv_m, sc), ntt_n.ntt(sc))
-
-        gate = f.add(
-            f.add(f.mul(q["ql"], lc), f.mul(q["qr"], rc)),
-            f.add(f.mul(q["qm"], f.mul(lc, rc)), f.add(f.mul(q["qo"], oc), q["qc"])),
+        C = {
+            "xn": f.const(xn, mont=True),
+            "zh_inv": f.const(pow((xn - 1) % p, -1, p), mont=True),
+            "s_r": f.const(s_r, mont=True),
+            "s_r_k1": f.const(s_r * vk.k1 % p, mont=True),
+            "s_r_k2": f.const(s_r * vk.k2 % p, mont=True),
+            "gamma": f.const(gamma, mont=True),
+            "beta": bb,
+            "a1": a1,
+            "a2": a2,
+            "n_inv": n_inv_m,
+        }
+        return slice_fn(
+            polys,
+            pk.q_coeffs,
+            pk.s_coeffs,
+            tuple(pk.qcp_coeffs),
+            tuple(c_coeffs),
+            pk.coset_scale[r],
+            pk.omega_pows,
+            tw_n,
+            C,
         )
-        gate = f.add(gate, pic)
-        # BSB22: + sum_i qcp_i * P_i (reference id_Qci columns)
-        for i in range(n_com):
-            gate = f.add(gate, f.mul(eval_slice(pk.qcp_coeffs[i]), eval_slice(c_coeffs[i])))
-
-        gb4 = f.broadcast_const(f.const(gamma, mont=True), lc)
-
-        def lin4(col, tbl):
-            return f.add(f.add(col, f.mul(f.broadcast_const(bb, tbl), tbl)), gb4)
-
-        # permutation term oriented like gnark's (verify.go:157-176 identity)
-        perm_zw = f.mul(
-            f.mul(f.mul(lin4(lc, s["s1"]), lin4(rc, s["s2"])), lin4(oc, s["s3"])), zwc
-        )
-        perm_z = f.mul(
-            f.mul(f.mul(lin4(lc, id1), lin4(rc, id2)), lin4(oc, id3)), zc
-        )
-        perm = f.sub(perm_zw, perm_z)
-        l1_term = f.mul(l1, f.sub(zc, f.broadcast_const(f.one, zc)))
-        numer = f.add(
-            gate,
-            f.add(
-                f.mul(f.broadcast_const(a1, perm), perm),
-                f.mul(f.broadcast_const(a2, l1_term), l1_term),
-            ),
-        )
-        return f.mul(numer, f.broadcast_const(zh_inv, numer))
 
     t_evals = jnp.zeros((f.n, 4 * n), dtype=jnp.uint32)
     for r in range(4):

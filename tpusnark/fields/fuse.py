@@ -211,6 +211,20 @@ def fuse(fn, lanes: int = LANE_BUDGET):
 
         kw = {"memory_space": vmem} if vmem is not None else {}
 
+        # Rank-1 leaves (bool/int masks, strip keys) cross the pallas_call
+        # boundary as (1, N): XLA gives large 1-D arrays coarse linear
+        # tilings (e.g. {0:T(1024)} for s32[8192]) that only match Mosaic's
+        # expectation when the block width happens to equal the tile — a
+        # trap the adaptive tile sizing exposed. 2-D operands always get the
+        # standard (8, 128) tiling, which any 128-multiple block satisfies.
+        def lift(x):
+            return x[None] if x.ndim == 1 else x
+
+        flat_in_l = [lift(x) for x in flat_in]
+        lifted_in = [x.ndim == 1 for x in flat_in]
+        out_sd_flat, out_tree = tree.tree_flatten(out_sd)
+        lifted_out = [s.ndim == 1 for s in out_sd_flat]
+
         def block(shape):
             bs = tuple(shape[:-1]) + (tile,)
             idx = lambda i, nd=len(shape): (0,) * (nd - 1) + (i,)
@@ -219,33 +233,46 @@ def fuse(fn, lanes: int = LANE_BUDGET):
         def const_block(shape):
             return pl.BlockSpec(shape, lambda i, nd=len(shape): (0,) * nd, **kw)
 
-        in_specs = [block(x.shape) for x in flat_in] + [
+        in_specs = [block(x.shape) for x in flat_in_l] + [
             const_block(c.shape) for c in consts2d
         ]
-        out_specs = tree.tree_map(lambda s: block(s.shape), out_sd)
-        n_in = len(flat_in)
+        out_specs_flat = [
+            block((1,) + s.shape if lif else s.shape)
+            for s, lif in zip(out_sd_flat, lifted_out)
+        ]
+        n_in = len(flat_in_l)
 
         def kernel(*refs):
-            ins = [r[...] for r in refs[:n_in]]
+            ins = [
+                r[...][0] if lif else r[...]
+                for r, lif in zip(refs[:n_in], lifted_in)
+            ]
             cs = [
                 refs[n_in + i][...].reshape(const_shapes[i])
                 for i in range(len(consts2d))
             ]
             outs = jax.core.eval_jaxpr(cj.jaxpr, cs, *ins)
             # output refs keep fn's pytree structure (e.g. Fp2 coord tuples)
-            out_refs = tree.tree_leaves(refs[n_in + len(consts2d) :])
-            for r, o in zip(out_refs, outs):
-                r[...] = o
+            out_refs = list(refs[n_in + len(consts2d) :])
+            for r, o, lif in zip(out_refs, outs, lifted_out):
+                r[...] = o[None] if lif else o
 
-        out = pl.pallas_call(
+        out_flat = pl.pallas_call(
             kernel,
             grid=(grid_n,),
             in_specs=in_specs,
-            out_specs=out_specs,
-            out_shape=tree.tree_map(
-                lambda s: jax.ShapeDtypeStruct(s.shape, s.dtype), out_sd
-            ),
-        )(*flat_in, *consts2d)
+            out_specs=out_specs_flat,
+            out_shape=[
+                jax.ShapeDtypeStruct(
+                    (1,) + s.shape if lif else s.shape, s.dtype
+                )
+                for s, lif in zip(out_sd_flat, lifted_out)
+            ],
+        )(*flat_in_l, *consts2d)
+        out_flat = [
+            o[0] if lif else o for o, lif in zip(out_flat, lifted_out)
+        ]
+        out = tree.tree_unflatten(out_tree, out_flat)
         if Np != N:
             out = tree.tree_map(lambda x: x[..., :N], out)
         return out

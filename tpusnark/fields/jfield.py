@@ -62,6 +62,16 @@ def _u32(x: int) -> np.uint32:
 # unit tests force it; inside kernels IN_PALLAS gates it).
 FORCE_MXU_CONST_MUL = contextvars.ContextVar("tpusnark_force_mxu", default=False)
 
+# In-kernel antidiagonal strategy: True routes the phase-1 antidiagonal sums
+# through the MXU (0/1 selection-matrix matmul) instead of the VPU
+# skew-reshape log-tree. Default on for TPU; TPUSNARK_ANTIDIAG=skew reverts.
+import os as _os
+
+ANTIDIAG_MXU = contextvars.ContextVar(
+    "tpusnark_antidiag_mxu",
+    default=_os.environ.get("TPUSNARK_ANTIDIAG", "mxu") != "skew",
+)
+
 
 def _const_band_mats(c: int, n: int, n_out16: int):
     """Even/odd band matrices of the host constant c for the MXU
@@ -309,6 +319,26 @@ class Field:
             rows = [rows[i] + rows[half + i] for i in range(half)] + rows[2 * half :]
         return rows[0]
 
+    def _antidiag_dot(self, x, n: int, low_only: bool = False):
+        """Antidiagonal sums of x (n, n, *batch), u32 values < 2^16, via an
+        MXU matmul with the 0/1 selection matrix (exact: 0/1 side exact in
+        bf16, f32 accumulation of <= n terms < 2^16 stays < 2^20)."""
+        import math
+
+        batch = x.shape[2:]
+        flat = x.reshape(n * n, math.prod(batch) if batch else 1)
+        xf = flat.astype(jnp.int32).astype(jnp.float32)
+        sel = self._sel_low if low_only else self._sel_full
+        out = jax.lax.dot_general(
+            sel,
+            xf,
+            (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        rows = n if low_only else 2 * n - 1
+        return out.astype(jnp.int32).astype(jnp.uint32).reshape((rows,) + batch)
+
     def _limb_mul_cols(self, a, b, low_only: bool = False):
         """u32 columns of the limb product a*b, as a (2n, *batch) array
         (or (n, *batch) if low_only: the product mod R). Columns < 2^21.
@@ -326,6 +356,24 @@ class Field:
         if IN_PALLAS.get():
             lo = outer & MASK
             hi = outer >> SHIFT
+            if ANTIDIAG_MXU.get():
+                # offload the antidiagonal sums to the MXU: one (2n-1, n^2)
+                # 0/1 matmul per half. Exact even at default precision —
+                # the 0/1 side is exact in bf16 and the f32 accumulation of
+                # <= n terms < 2^16 stays < 2^20 < 2^24. Frees ~35% of the
+                # kernel's VPU ops (the log-tree antidiagonal adds).
+                tlo = self._antidiag_dot(lo, n, low_only)
+                thi = self._antidiag_dot(hi, n, low_only)
+                if low_only:
+                    # dot path already emitted only rows < n
+                    return tlo + self._shift_up(thi, 1)[:n]
+                tlo_full = jnp.concatenate(
+                    [tlo, jnp.zeros_like(tlo[:1])], axis=0
+                )
+                thi_full = jnp.concatenate(
+                    [jnp.zeros_like(thi[:1]), thi], axis=0
+                )
+                return tlo_full + thi_full
             tlo = self._antidiag_sum(lo, n)  # (2n-1, *batch) cols < 2^20
             thi = self._antidiag_sum(hi, n)
         else:

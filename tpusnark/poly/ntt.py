@@ -84,6 +84,7 @@ class NTT:
             self._tw_inv = f.array(packed(w_inv))
             self._bitrev = jnp.asarray(bit_reverse_perm(n))
         self._n_inv = f.const(d.n_inv, mont=True)
+        self._bfly_fused = None
         # coset scale tables (shift^i, and shift^-i pre-scaled by nothing)
         self._coset = None
         self._coset_inv = None
@@ -172,6 +173,29 @@ class NTT:
         return tbl.reshape((self.field.n,) + (1,) * (x.ndim - 2) + (self.n,))
 
     # -------------------------------------------------------- four-step (big n)
+    def _butterfly(self, e, o, tw):
+        """(e + o*tw, e - o*tw) on flat (L, N) arrays — ONE kernel on TPU.
+
+        Unfused, the add/sub carry chains (jnp.pad-based Kogge-Stone) break
+        XLA elementwise fusion into ~10 HBM round trips each; fusing the
+        whole butterfly keeps the stage at 5 array reads/writes total."""
+        f = self.field
+        fb = self._bfly_fused
+        if fb is None:
+            from ..fields.fuse import fuse
+
+            def step(e, o, tw):
+                t = f.mul(o, tw)
+                return f.add(e, t), f.sub(e, t)
+
+            fb = self._bfly_fused = fuse(step)
+        import jax as _jax
+
+        if _jax.default_backend() != "tpu":
+            t = f.mul(o, tw)
+            return f.add(e, t), f.sub(e, t)
+        return fb(e, o, tw)
+
     def _stages_mid(self, x, table, k: int):
         """DIT butterflies along axis -2 of x (L, *mid, A, B), pre-bit-
         reversed along that axis; twiddles from the sub-NTT's packed table.
@@ -193,10 +217,11 @@ class NTT:
             )
             # flatten to (L, N) around the field ops: the Pallas batch tiler
             # budgets VMEM by the trailing axis and keeps leading dims whole
-            t = f.mul(o.reshape(L, -1), twf.reshape(L, -1))
-            ef = e.reshape(L, -1)
-            aa = f.add(ef, t).reshape(e.shape)
-            bb = f.sub(ef, t).reshape(e.shape)
+            aa, bb = self._butterfly(
+                e.reshape(L, -1), o.reshape(L, -1), twf.reshape(L, -1)
+            )
+            aa = aa.reshape(e.shape)
+            bb = bb.reshape(e.shape)
             x = jnp.stack([aa, bb], axis=-3).reshape((L,) + mid + (A, B))
         return x
 
