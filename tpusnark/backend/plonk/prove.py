@@ -25,6 +25,7 @@ from ...constraint.scs import SparseConstraintSystem, solve_scs
 from ...fields.jfield import get_field
 from ...fields.spec import BN254_FR
 from ...poly import kzg
+from ...poly.iop import Basis, Layout, Polynomial
 from ...poly.ntt import get_ntt
 from ...utils.transcript import Transcript, fr_bytes, g1_bytes, kzg_fold_challenge
 from .keys import PlonkProof, PlonkProvingKey
@@ -224,10 +225,17 @@ def prove(
     o_e = [W[g.xc] for g in cs.gates] + [0] * pad
     lro = f.array(l_e + r_e + o_e).reshape(f.n, 3, n)
     lro_c = ntt_n.intt(lro)  # (L, 3, n) coefficient forms
+    # typed views (iop.Polynomial, the gnark-crypto iop analog): basis
+    # bookkeeping is explicit from here on — blinding takes CANONICAL in,
+    # commits assert CANONICAL (poly degree n+1 after blinding, so the
+    # wrapper types the pre-blind column)
+    l_c = Polynomial(lro_c[:, 0], Basis.CANONICAL, Layout.REGULAR, BN254_FR)
+    r_c = Polynomial(lro_c[:, 1], Basis.CANONICAL, Layout.REGULAR, BN254_FR)
+    o_c = Polynomial(lro_c[:, 2], Basis.CANONICAL, Layout.REGULAR, BN254_FR)
 
-    l_hat = _blind(lro_c[:, 0], [rand(), rand()], n)
-    r_hat = _blind(lro_c[:, 1], [rand(), rand()], n)
-    o_hat = _blind(lro_c[:, 2], [rand(), rand()], n)
+    l_hat = _blind(l_c.data, [rand(), rand()], n)
+    r_hat = _blind(r_c.data, [rand(), rand()], n)
+    o_hat = _blind(o_c.data, [rand(), rand()], n)
 
     l_com = kzg.commit_dev(pk.srs, f.from_mont(l_hat))
     r_com = kzg.commit_dev(pk.srs, f.from_mont(r_hat))
@@ -255,7 +263,8 @@ def prove(
     z_evals = _grand_z_j(
         lro, id1, id2, id3, s1_t, s2_t, s3_t, f.const(gamma, mont=True), bb
     )
-    z_c = ntt_n.intt(z_evals)
+    z_p = Polynomial(z_evals, Basis.LAGRANGE, Layout.REGULAR, BN254_FR)
+    z_c = z_p.to_canonical().data
     z_hat = _blind(z_c, [rand(), rand(), rand()], n)
     z_com = kzg.commit_dev(pk.srs, f.from_mont(z_hat))
 
@@ -279,7 +288,11 @@ def prove(
     pi_evals = pubs + [0] * (n - len(pubs))
     for i, cm in enumerate(cs.commitments):
         pi_evals[cs.n_public + cm.commitment_index] = bsb22_vals[i]
-    pi_hat = ntt_n.intt(f.array(pi_evals))
+    pi_hat = (
+        Polynomial.from_ints(pi_evals, BN254_FR, basis=Basis.LAGRANGE)
+        .to_canonical()
+        .data
+    )
 
     a1 = f.const(alpha, mont=True)
     a2 = f.const(alpha * alpha % p, mont=True)
@@ -318,7 +331,8 @@ def prove(
     t_evals = jnp.zeros((f.n, 4 * n), dtype=jnp.uint32)
     for r in range(4):
         t_evals = t_evals.at[:, r::4].set(numerator_slice(r))
-    t_c = ntt_4n.intt_coset(t_evals)  # (L, 4n)
+    t_p = Polynomial(t_evals, Basis.LAGRANGE_COSET, Layout.REGULAR, BN254_FR)
+    t_c = t_p.to_canonical().data  # (L, 4n)
     m = n + 2
     h1 = t_c[:, :m]
     h2 = t_c[:, m : 2 * m]
