@@ -121,3 +121,28 @@ def test_plonk_richer_circuit():
     proof = plonk.prove(cs, pk, assign, rng=_rng_seq(7))
     assert plonk.verify(proof, vk, [assign["y"]])
     assert not plonk.verify(proof, vk, [assign["y"] + 1])
+
+
+@pytest.mark.slow
+def test_plonk_four_step_domain():
+    """Domain >= NTT.FOUR_STEP_MIN (2^16): the quotient slice evaluator must
+    dispatch to the four-step NTT (advisor r4 high: _get_slice_jit hard-coded
+    the small-n _ntt_run and crashed for any domain >= 65536)."""
+    from tpusnark.poly.ntt import NTT
+
+    n_gates = NTT.FOUR_STEP_MIN  # forces domain_n == 2^16
+    b = PlonkBuilder(P)
+    x = b.secret("x")
+    y = b.public("y")
+    acc = x
+    for i in range(n_gates - 16):
+        acc = b.mul(acc, x) if i % 2 == 0 else b.add(acc, x)
+    b.assert_is_equal(acc, y)
+    cs = b.compile()
+    xv, av = 3, 3
+    for i in range(n_gates - 16):
+        av = av * xv % P if i % 2 == 0 else (av + xv) % P
+    assert cs.n_gates > NTT.FOUR_STEP_MIN // 2  # really lands in the big domain
+    pk, vk = plonk.setup(cs, tau=123456789)
+    proof = plonk.prove(cs, pk, {"x": xv, "y": av})
+    assert plonk.verify(proof, vk, [av])

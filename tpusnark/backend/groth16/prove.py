@@ -71,15 +71,16 @@ def compute_h_dev(A, B, C, n: int, spec=BN254_FR):
     return f.from_mont(h[:, : n - 1])
 
 
-_ABC_CACHE: dict = {}
-
-
 def _abc_eval(cs: ConstraintSystem, fr=None) -> ABCEvaluator:
+    """Per-CS evaluator cache stored ON the constraint system (keyed by the
+    field spec): lifetime is tied to cs, so a GC'd system can never alias a
+    new one the way an id()-keyed module dict could (advisor r3/r4)."""
     fr = fr or _fr
-    ev = _ABC_CACHE.get((id(cs), id(fr)))
+    cache = cs.__dict__.setdefault("_abc_eval_cache", {})
+    ev = cache.get(fr.spec)
     if ev is None:
         ev = ABCEvaluator(cs, fr)
-        _ABC_CACHE[(id(cs), id(fr))] = ev
+        cache[fr.spec] = ev
     return ev
 
 
@@ -114,10 +115,33 @@ def bsb22_prover_state(cs: ConstraintSystem, pk: ProvingKey):
 
 
 def prove(
-    cs: ConstraintSystem, pk: ProvingKey, assignment: dict, rng=None, config=None
+    cs: ConstraintSystem,
+    pk: ProvingKey,
+    assignment: dict,
+    rng=None,
+    config=None,
+    timings: dict | None = None,
 ) -> Proof:
+    """`timings`: optional dict filled with per-phase wall-clock seconds
+    (solve / h / msm / assemble — the same phases the reference logs at
+    /root/reference/backend/groth16/bn254/prove.go:319). Timing inserts
+    device barriers between phases, so only pass it when benchmarking."""
+    import time as _time
+
+    import jax as _jax
+
     from ...curves.config import get_curve
     from ..config import resolve
+
+    def _mark(name, t0, *sync):
+        """Record phase wall-clock; barriers on `sync` arrays when timing."""
+        if timings is None:
+            return 0.0
+        for a in sync:
+            _jax.block_until_ready(a)
+        t = _time.perf_counter()
+        timings[name] = timings.get(name, 0.0) + (t - t0)
+        return t
 
     pcfg = resolve(config, rng)
     cfg = get_curve(getattr(pk, "curve", "bn254") or "bn254")
@@ -144,6 +168,7 @@ def prove(
 
     if pcfg.hint_overrides:
         overrides = {**overrides, **pcfg.hint_overrides}
+    t0 = _time.perf_counter()
     w_mont, abc, W = solve_any(
         cs,
         assignment,
@@ -152,6 +177,7 @@ def prove(
         force_host=pcfg.accelerator == "host",
         logs=pcfg.solver_logs,
     )
+    t0 = _mark("solve", t0, w_mont, abc)
     n = pk.domain_n
 
     def wire_ints(idxs: list[int]) -> list[int]:
@@ -175,7 +201,9 @@ def prove(
     else:
         A, B, C = abc
         w_dev = fr.from_mont(w_mont)
+    t0 = _mark("encode", t0, w_dev, A)
     h_dev = compute_h_dev(A, B, C, n, cfg.fr_spec)
+    t0 = _mark("h", t0, h_dev)
 
     dev = pk.device()
     msm_g1 = get_msm_for("g1", cs.n_wires, cfg.name)
@@ -198,6 +226,8 @@ def prove(
     bs1_raw = msm_g1(dev["b1"], w_dev)
     bs2_raw = msm_g2(dev["b2"], w_dev)
     krs_k = msm_g1(dev["k"], priv_dev)
+    krs_z_raw = msm_g1(dev["z"], h_dev) if len(pk.z) else None
+    t0 = _mark("msm", t0, ar_raw, bs1_raw, bs2_raw, krs_k, krs_z_raw)
 
     (ar_sum,) = g1_from_device_proj(ar_raw, fp)
     (bs1_sum,) = g1_from_device_proj(bs1_raw, fp)
@@ -208,12 +238,11 @@ def prove(
             bs2_raw, fp, fp2_cls=cfg.host.Fp2, q=cfg.fp2_q
         )
     (krs_k_sum,) = g1_from_device_proj(krs_k, fp)
-    if len(pk.z) == 0:
+    if krs_z_raw is None:
         # degenerate 1-constraint domain: deg(H) < 0, the Z table is empty
         krs_z_sum = None
     else:
-        krs_z = msm_g1(dev["z"], h_dev)
-        (krs_z_sum,) = g1_from_device_proj(krs_z, fp)
+        (krs_z_sum,) = g1_from_device_proj(krs_z_raw, fp)
 
     # host assembly (reference prove.go:295-410): tiny fixed-base muls
     ar = G1.add(G1.add(pk.alpha_g1, ar_sum), G1.mul(pk.delta_g1, r))
@@ -224,6 +253,7 @@ def prove(
     krs = G1.add(krs, G1.mul(ar, s))
     krs = G1.add(krs, G1.mul(bs1, r))
     krs = G1.add(krs, G1.mul(pk.delta_g1, (-r * s) % p))
+    _mark("assemble", t0)
     return Proof(
         ar=ar, krs=krs, bs=bs, commitments=proof_commitments, commitment_pok=pok
     )

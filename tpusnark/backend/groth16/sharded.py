@@ -215,13 +215,16 @@ def prove_sharded(cs: ConstraintSystem, pk: ProvingKey, assignment: dict, mesh,
     )
 
 
-_CORES: dict = {}
-
-
 def _core_cache(cs, pk, mesh, axis):
-    key = (id(cs), id(pk), id(mesh), axis)
-    core = _CORES.get(key)
-    if core is None:
+    """Cache the sharded-prover core ON the proving key (keyed by the cs
+    identity-as-weak-participant via the cs-held dict, plus mesh devices):
+    storing on pk ties the cache's lifetime to its owners, so id() reuse
+    after GC can never alias distinct objects (advisor r3/r4)."""
+    cache = pk.__dict__.setdefault("_sharded_cores", {})
+    key = (id(cs), tuple(id(d) for d in mesh.devices.flat), axis)
+    entry = cache.get(key)
+    # keep a strong ref to cs/mesh in the entry so the id() keys stay valid
+    if entry is None or entry[1] is not cs or entry[2] is not mesh:
         core = ShardedProverCore(cs, pk, mesh, axis)
-        _CORES[key] = core
-    return core
+        cache[key] = entry = (core, cs, mesh)
+    return entry[0]

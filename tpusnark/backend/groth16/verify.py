@@ -102,9 +102,17 @@ def _verify_any(proof, vk, public_inputs, curve: str) -> bool:
             f"wrong number of public inputs: got {len(pubs) - 1}, "
             f"want {len(vk.k) - 1}"
         )
+    # Full on-curve + r-order subgroup discipline on every proof point
+    # (reference rejects out-of-subgroup points at unmarshal; BLS12-377 G1
+    # has cofactor (x-1)^2/3 > 1, so on-curve alone is NOT enough for
+    # ar/krs there — advisor r4 medium).
     for pt in (proof.ar, proof.krs):
         if not G1h.is_on_curve(pt):
             raise InvalidProofError("proof point not on curve")
+        if not G1h.in_subgroup(pt):
+            raise InvalidProofError("proof point not in G1 subgroup")
+    if not G2h.is_on_curve(proof.bs):
+        raise InvalidProofError("proof point not on curve")
     if not G2h.in_subgroup(proof.bs):
         raise InvalidProofError("proof point not in G2 subgroup")
     ksum = None

@@ -101,6 +101,9 @@ def _get_slice_jit(n: int):
         return fn
     ntt_n = get_ntt(BN254_FR, n)
     f = _fr
+    # regime dispatch: n >= FOUR_STEP_MIN has no _bitrev/packed table and
+    # _fwd_tables() returns the four-step 3-tuple — _ntt_run would crash
+    run = ntt_n._ntt4_run if n >= ntt_n.FOUR_STEP_MIN else ntt_n._ntt_run
 
     def impl(polys, qs, ss, qcps, ccs, sc, omega_pows, tw, C):
         def eval_slice(coeffs):
@@ -109,7 +112,7 @@ def _get_slice_jit(n: int):
             if m > n:
                 tail = jnp.pad(coeffs[:, n:], ((0, 0), (0, n - (m - n))))
                 base = f.add(base, f.mul(f.broadcast_const(C["xn"], tail), tail))
-            return ntt_n._ntt_run(f.mul(base, sc), tw)
+            return run(f.mul(base, sc), tw)
 
         lc = eval_slice(polys["l"])
         rc = eval_slice(polys["r"])
@@ -123,7 +126,7 @@ def _get_slice_jit(n: int):
         id2 = f.mul(f.broadcast_const(C["s_r_k1"], omega_pows), omega_pows)
         id3 = f.mul(f.broadcast_const(C["s_r_k2"], omega_pows), omega_pows)
         # L1 = (x^n - 1)/(n (x - 1)): coefficients are all 1/n
-        l1 = f.mul(f.broadcast_const(C["n_inv"], sc), ntt_n._ntt_run(sc, tw))
+        l1 = f.mul(f.broadcast_const(C["n_inv"], sc), run(sc, tw))
 
         gate = f.add(
             f.add(f.mul(q["ql"], lc), f.mul(q["qr"], rc)),
@@ -166,8 +169,24 @@ def prove(
     assignment: dict,
     rng=None,
     config=None,
+    timings: dict | None = None,
 ) -> PlonkProof:
+    """`timings`: optional per-phase wall-clock dict (solve / lro / z /
+    quotient / open — the reference logs the whole-prover scope at
+    backend/plonk/bn254/prove.go:175). Adds device barriers; benchmarking
+    only."""
+    import time as _time
+
     from ..config import resolve
+
+    def _mark(name, t0, *sync):
+        if timings is None:
+            return 0.0
+        for a in sync:
+            jax.block_until_ready(a)
+        t = _time.perf_counter()
+        timings[name] = timings.get(name, 0.0) + (t - t0)
+        return t
 
     pcfg = resolve(config, rng)
     f = _fr
@@ -217,7 +236,9 @@ def prove(
     # ---- 1. solve + wire columns -------------------------------------------
     if pcfg.hint_overrides:
         overrides = {**(overrides or {}), **pcfg.hint_overrides}
+    t0 = _time.perf_counter()
     W = solve_scs(cs, assignment, hint_overrides=overrides, logs=pcfg.solver_logs)
+    t0 = _mark("solve", t0)
     pubs = W[: cs.n_public]
     pad = n - cs.n_gates
     l_e = [W[g.xa] for g in cs.gates] + [0] * pad
@@ -240,6 +261,7 @@ def prove(
     l_com = kzg.commit_dev(pk.srs, f.from_mont(l_hat))
     r_com = kzg.commit_dev(pk.srs, f.from_mont(r_hat))
     o_com = kzg.commit_dev(pk.srs, f.from_mont(o_hat))
+    t0 = _mark("lro", t0)
 
     # ---- 2. gamma, beta ------------------------------------------------------
     tr = Transcript(list(CHALLENGES), hash_factory=pcfg.challenge_hash)
@@ -267,6 +289,7 @@ def prove(
     z_c = z_p.to_canonical().data
     z_hat = _blind(z_c, [rand(), rand(), rand()], n)
     z_com = kzg.commit_dev(pk.srs, f.from_mont(z_hat))
+    t0 = _mark("z", t0)
 
     # deriveAlpha binds the Bsb22 commitments FIRST, then Z (prove.go:504-512)
     for pt in bsb22_points:
@@ -344,6 +367,7 @@ def prove(
     for c in (h1_com, h2_com, h3_com):
         tr.bind("zeta", g1_bytes(c))
     zeta = tr.challenge_int("zeta", p)
+    t0 = _mark("quotient", t0)
 
     # ---- 5. linearized polynomial (gnark computeLinearizedPolynomial,
     # prove.go:707-836) ---------------------------------------------------------
@@ -475,6 +499,7 @@ def prove(
     batched_h = kzg.commit_dev(pk.srs, f.from_mont(q_poly))
     q2, _ = kzg.div_by_linear_dev(z_hat, omega_zeta)
     z_shifted_h = kzg.commit_dev(pk.srs, f.from_mont(q2))
+    _mark("open", t0)
 
     return PlonkProof(
         l_com=l_com,

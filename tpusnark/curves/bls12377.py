@@ -21,6 +21,8 @@ emparams.go:123,137):
 
 from __future__ import annotations
 
+from ._subgroup import ladder_mul_raw as _ladder_mul_raw
+
 P = 0x01AE3A4617C510EAC63B05C06CA1493B1A22D9F300F5138F1EF3622FBA094800170B5D44300000008508C00000000001
 R = 0x12AB655E9A2CA55660B44D1E5C37B00159AA76FED00000010A11800000000001
 X_SEED = 0x8508C00000000001  # positive
@@ -310,7 +312,9 @@ class G1:
 
     @staticmethod
     def in_subgroup(p1) -> bool:
-        return G1.mul(p1, R) is None
+        """[r]P == O without mul()'s mod-r scalar reduction (mul(P, R)
+        reduces to mul by 0 and would pass vacuously)."""
+        return _ladder_mul_raw(G1, p1, R) is None
 
 
 class G2:
@@ -374,7 +378,8 @@ class G2:
 
     @staticmethod
     def in_subgroup(p1) -> bool:
-        return G2.mul(p1, R) is None
+        """[r]P == O without mul()'s mod-r reduction (see G1.in_subgroup)."""
+        return _ladder_mul_raw(G2, p1, R) is None
 
 
 # ------------------------------------------------------------------ pairing

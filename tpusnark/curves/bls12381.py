@@ -21,6 +21,8 @@ Textbook algorithms, from scratch:
 
 from __future__ import annotations
 
+from ._subgroup import ladder_mul_raw as _ladder_mul_raw
+
 P = 0x1A0111EA397FE69A4B1BA7B6434BACD764774B84F38512BF6730D2A0F6B0F6241EABFFFEB153FFFFB9FEFFFFFFFFAAAB
 R = 0x73EDA753299D7D483339D80809A1D80553BDA402FFFE5BFEFFFFFFFF00000001
 X_ABS = 0xD201000000010000  # BLS parameter |x|; x < 0
@@ -298,7 +300,9 @@ class G1:
 
     @staticmethod
     def in_subgroup(p1) -> bool:
-        return G1.mul(p1, R) is None
+        """[r]P == O without mul()'s mod-r reduction (mul(P, R) would be
+        a vacuous multiply-by-zero)."""
+        return _ladder_mul_raw(G1, p1, R) is None
 
 
 class G2:
@@ -362,7 +366,8 @@ class G2:
 
     @staticmethod
     def in_subgroup(p1) -> bool:
-        return G2.mul(p1, R) is None
+        """[r]P == O without mul()'s mod-r reduction (see G1)."""
+        return _ladder_mul_raw(G2, p1, R) is None
 
 
 # ------------------------------------------------------------------ pairing

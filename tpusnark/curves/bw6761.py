@@ -26,6 +26,8 @@ tests/test_bw6_bls377.py):
 
 from __future__ import annotations
 
+from ._subgroup import ladder_mul_raw as _ladder_mul_raw
+
 P = 0x122E824FB83CE0AD187C94004FAFF3EB926186A81D14688528275EF8087BE41707BA638E584E91903CEBAFF25B423048689C8ED12F9FD9071DCD3DC73EBFF2E98A116C25667A8F8160CF8AEEAF0A437E6913E6870000082F49D00000000008B
 R = 0x01AE3A4617C510EAC63B05C06CA1493B1A22D9F300F5138F1EF3622FBA094800170B5D44300000008508C00000000001
 
@@ -220,7 +222,9 @@ def _make_group(b: int, name: str):
 
         @staticmethod
         def in_subgroup(p1) -> bool:
-            return _G.mul(p1, R) is None
+            """[r]P == O without mul()'s mod-r reduction (mul(P, R)
+            would be a vacuous multiply-by-zero)."""
+            return _ladder_mul_raw(_G, p1, R) is None
 
     _G.__name__ = name.upper()
     return _G

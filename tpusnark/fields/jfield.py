@@ -64,12 +64,16 @@ FORCE_MXU_CONST_MUL = contextvars.ContextVar("tpusnark_force_mxu", default=False
 
 # In-kernel antidiagonal strategy: True routes the phase-1 antidiagonal sums
 # through the MXU (0/1 selection-matrix matmul) instead of the VPU
-# skew-reshape log-tree. Default on for TPU; TPUSNARK_ANTIDIAG=skew reverts.
+# skew-reshape log-tree. Default SKEW: measured on the v5e chip (round 5),
+# the in-kernel skew path sustains 307 M muls/s vs 278 M for the MXU route —
+# the f32 HIGHEST-precision selection matmul saturates the MXU with 4x
+# row-padding waste (31 useful rows of 128) while the VPU sits underused.
+# TPUSNARK_ANTIDIAG=mxu flips it back for A/B runs.
 import os as _os
 
 ANTIDIAG_MXU = contextvars.ContextVar(
     "tpusnark_antidiag_mxu",
-    default=_os.environ.get("TPUSNARK_ANTIDIAG", "mxu") != "skew",
+    default=_os.environ.get("TPUSNARK_ANTIDIAG", "skew") == "mxu",
 )
 
 

@@ -251,17 +251,27 @@ class PlonkRecursionVerifier:
             [(proof.h2_com, zeta_m2), (proof.h3_com, api.mul(zeta_m2, zeta_m2))]
         )
         folded_h, fh_z = curve.add_unified(proof.h1_com, folded_h, 0, fh_z)
+        # vk selector commitments may be the identity (None) — e.g. qm for a
+        # circuit with no multiplication gates. vk is a build-time constant,
+        # so skip those terms exactly as the host verifier does
+        # (backend/plonk/verify.py: `if pt is None ...: continue`);
+        # identity * anything contributes nothing to the MSM.
         lin_com, lc_z = msm(
             [
-                (cpt(vk.ql), lb),
-                (cpt(vk.qr), rb),
-                (cpt(vk.qm), api.mul(lb, rb)),
-                (cpt(vk.qo), ob),
-                (cpt(vk.s3), s3_scal),
-                (proof.z_com, z_scal),
+                (cpt(pt), s)
+                for pt, s in [
+                    (vk.ql, lb),
+                    (vk.qr, rb),
+                    (vk.qm, api.mul(lb, rb)),
+                    (vk.qo, ob),
+                    (vk.s3, s3_scal),
+                ]
+                if pt is not None
             ]
+            + [(proof.z_com, z_scal)]
         )
-        lin_com, lc_z = curve.add_unified(cpt(vk.qc), lin_com, 0, lc_z)
+        if vk.qc is not None:
+            lin_com, lc_z = curve.add_unified(cpt(vk.qc), lin_com, 0, lc_z)
         api.assert_is_equal(fh_z, 0)
         api.assert_is_equal(lc_z, 0)
 

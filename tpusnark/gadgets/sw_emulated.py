@@ -147,11 +147,14 @@ class EmulatedCurve:
 
         Uses the Brier-Joye unified slope lam = (x1^2 + x1 x2 + x2^2 + a) /
         (y1 + y2), valid whenever y1 + y2 != 0 — one formula for both add
-        and double. When y1 + y2 == 0 (P == -Q, or 2-torsion doubling) the
-        numerator is zeroed so div_unchecked stays satisfiable and the
-        garbage result is selected away by the rz flag. The reference's
-        counterpart is sw_emulated.AddUnified
-        (/root/reference/std/algebra/emulated/sw_emulated/point.go)."""
+        and double. When y1 + y2 == 0 the slope is computed against a DUMMY
+        denominator 1 through a fully-CONSTRAINED division (so a malicious
+        witness cannot choose lam; a prior div_unchecked(0, 0) here left lam
+        free while rz stayed 0 for the x1 != x2, y1 == -y2 case — reachable
+        on p = 1 mod 3 curves via cube-root-of-unity x pairs) and the lane
+        returns the flagged identity, exactly as the reference's
+        sw_emulated.AddUnified does
+        (/root/reference/std/algebra/emulated/sw_emulated/point.go:210-236)."""
         api, F = self.api, self.F
         x1, y1, x2, y2 = P.x, P.y, Q.x, Q.y
         ysum = F.add(y1, y2)
@@ -160,17 +163,20 @@ class EmulatedCurve:
         if self.spec.a:
             num = F.add(num, F.constant(self.spec.a))
         num = F.select(bad, F.constant(0), num)
-        lam = F.div_unchecked(num, ysum)
+        den = F.select(bad, F.constant(1), ysum)
+        # den != 0 on every lane, so den*lam == num pins lam uniquely:
+        # div_unchecked is fully constrained here (and cheaper than div's
+        # explicit inverse)
+        lam = F.div_unchecked(num, den)
         xr = F.sub(F.sub(F.mul(lam, lam), x1), x2)
         yr = F.sub(F.mul(lam, F.sub(x1, xr)), y1)
         Rc = EmuPoint(xr, yr)
         # result flags/coords: identity operands pass the other point
-        # through; annihilation (x1 == x2 and y1 + y2 == 0, both nonzero)
-        # yields the flagged identity
-        ex = F.is_zero(F.sub(x1, x2))
-        annihilate = api.and_(ex, bad)
+        # through; any live y1 + y2 == 0 lane (annihilation P == -Q, or
+        # 2-torsion doubling, or the exotic equal-y-negated pair) yields the
+        # flagged identity, mirroring the reference
         both_live = api.and_(api.sub(1, pz), api.sub(1, qz))
-        rz = api.or_(api.and_(pz, qz), api.and_(both_live, annihilate))
+        rz = api.or_(api.and_(pz, qz), api.and_(both_live, bad))
         R = self.select(pz, Q, self.select(qz, P, Rc))
         R = self.select(rz, self.zero_point(), R)
         return R, rz

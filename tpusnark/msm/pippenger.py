@@ -114,6 +114,14 @@ class MSM:
         self.n_windows = -(-self.scalar_bits // c)
         self._msm_j = jax.jit(self._msm_impl)
 
+    def muls_per_point_estimate(self) -> float:
+        """Montgomery-mul-equivalents per point of the CURRENT algorithm
+        structure (for the measured roofline in bench.py): one complete
+        mixed add per point per window (~12.5 mul-eq: 11 muls + b3 chains +
+        lazy add/subs at ~0.1 mul each) plus ~25% for the compaction
+        log-scan and bucket weighting."""
+        return self.n_windows * 1.25 * 12.5
+
     def __call__(self, points_affine, scalars_norm):
         """points: (X, Y, inf) with coords (L, N) (X/Y possibly (c0,c1) tuples
         for G2); scalars: (L, N) NORMAL-form 16-bit limbs. Returns a
@@ -198,6 +206,34 @@ class MSM:
         # infinity inputs always land in the (ignored) 0 bucket
         digits = jnp.where(inf[None, :], jnp.uint32(0), digits)
         aff0 = (X, Y, inf)
+
+        # ---- packed point image for the per-window permutation ----------
+        # The sorted-order point gather dominated the MSM (61 ms/window at
+        # 2^20 on v5e): TPU random gathers run at ~2-3 GB/s regardless of
+        # axis, so the fix is to SHRINK THE GATHERED BYTES. Limbs are 16-bit
+        # values stored in u32 lanes — half the gathered bits were zeros.
+        # Pack limb pairs into full u32 rows ((N, L_total/2), 64 B/point for
+        # G1) once per MSM; each window row-gathers the packed image
+        # (29.6 ms measured) and unpacks with cheap wide shifts.
+        if use_strips:
+            xy_leaves, xy_tree = jax.tree_util.tree_flatten((X, Y))
+            leaf_rows = [l.shape[0] for l in xy_leaves]
+            allc = jnp.concatenate(xy_leaves, axis=0)  # (Ltot, N)
+            packed = (allc[0::2] | (allc[1::2] << jnp.uint32(16))).T
+            Ltot = allc.shape[0]
+
+            def gather_points(order):
+                g = packed[order]  # (N, Ltot//2) contiguous-row gather
+                gt = g.T
+                lo = gt & jnp.uint32(0xFFFF)
+                hi = gt >> jnp.uint32(16)
+                full = jnp.stack([lo, hi], axis=1).reshape(Ltot, N)
+                leaves2, ofs = [], 0
+                for r in leaf_rows:
+                    leaves2.append(full[ofs : ofs + r])
+                    ofs += r
+                Xg, Yg = jax.tree_util.tree_unflatten(xy_tree, leaves2)
+                return (Xg, Yg, inf[order])
 
         iota_b = jnp.arange(B, dtype=jnp.int32)
         SENT = jnp.uint32(B)  # sorts after every real bucket key
@@ -334,7 +370,7 @@ class MSM:
             order = jnp.argsort(key)
             skey = key[order]
             if use_strips:
-                aff = tree_map(lambda a: a[..., order], aff0)
+                aff = gather_points(order)
                 buckets = strip_buckets(skey, aff)
             else:
                 pts = tree_map(lambda a: a[..., order], ops.from_affine(aff0))
