@@ -84,6 +84,73 @@ class PlonkProvingKey:
         if self.qcp_coeffs is None:
             self.qcp_coeffs = []
 
+    def dev(self):
+        """Lazy device-resident prover tables (built once per PK, the
+        accelerator-PK-residency discipline of the reference's icicle
+        ProvingKey, /root/reference/backend/groth16/bn254/icicle/
+        provingkey.go:11-36): identity/permutation columns for the grand
+        product, omega powers for z(omega X), and the padded coefficient
+        stacks the opening stage linearly combines. Removing these from the
+        per-prove path killed ~3n host->device encodes per proof."""
+        tab = self.__dict__.get("_devtab")
+        if tab is not None:
+            return tab
+        import jax.numpy as jnp
+
+        from ...fields.jfield import get_field
+        from ...fields.spec import BN254_FR
+
+        f = get_field(BN254_FR)
+        p = BN254_FR.modulus
+        n = self.domain_n
+        vk = self.vk
+        from ...poly.ntt import get_ntt
+
+        ntt_n = get_ntt(BN254_FR, n)
+        id1 = f.array(ntt_n.domain.powers)  # omega^i
+        ids = jnp.stack([id1, f.mul_const(id1, vk.k1), f.mul_const(id1, vk.k2)], axis=1)
+        s_lag = jnp.stack(
+            [f.array(self.s_evals_int[kk]) for kk in ("s1", "s2", "s3")], axis=1
+        )
+        maxm = n + 3  # z_hat length (3 blinders)
+        wpow = f.array([pow(vk.generator, i, p) for i in range(maxm)])
+
+        def pad_to(x, m):
+            return jnp.pad(x, ((0, 0), (0, m - x.shape[1])))
+
+        # open/linearization stacks over PK columns (padded to maxm)
+        lin_base = jnp.stack(
+            [
+                pad_to(self.q_coeffs["ql"], maxm),
+                pad_to(self.q_coeffs["qr"], maxm),
+                pad_to(self.q_coeffs["qm"], maxm),
+                pad_to(self.q_coeffs["qo"], maxm),
+                pad_to(self.q_coeffs["qc"], maxm),
+                pad_to(self.s_coeffs["s3"], maxm),
+            ],
+            axis=1,
+        )  # (L, 6, maxm)
+        s12 = jnp.stack(
+            [pad_to(self.s_coeffs["s1"], maxm), pad_to(self.s_coeffs["s2"], maxm)],
+            axis=1,
+        )  # (L, 2, maxm)
+        qcp_stack = (
+            jnp.stack([pad_to(c, maxm) for c in self.qcp_coeffs], axis=1)
+            if self.qcp_coeffs
+            else None
+        )
+        tab = {
+            "ids": ids,  # (L, 3, n)
+            "s_lag": s_lag,  # (L, 3, n)
+            "wpow": wpow,  # (L, maxm)
+            "lin_base": lin_base,
+            "s12": s12,
+            "qcp_stack": qcp_stack,
+            "maxm": maxm,
+        }
+        self.__dict__["_devtab"] = tab
+        return tab
+
 
 @dataclass
 class PlonkProof:

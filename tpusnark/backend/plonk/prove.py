@@ -1,14 +1,25 @@
 """PLONK prover: the reference's 11-stage dataflow DAG
 (/root/reference/backend/plonk/bn254/prove.go:116-1079) re-expressed as a
-sequence of jit-compiled device programs (XLA schedules; no goroutine DAG):
+handful of jit-compiled device programs (XLA schedules; no goroutine DAG):
 
-  solve -> commit blinded L,R,O -> FS gamma,beta -> grand product Z
-  (device prefix scan + one batched Fermat inversion, replacing
-  iop.BuildRatioCopyConstraint prove.go:600) -> FS alpha -> quotient on the
-  4n coset (the rho-loop computeNumerator prove.go:837-1079 becomes
-  pointwise device algebra over precomputed coset tables) -> FS zeta ->
-  batched evaluations (one Horner scan) -> one folded KZG opening at zeta
-  + one at omega*zeta.
+  solve -> [wires stage] intt + blind L,R,O -> batched commit ->
+  FS gamma,beta -> [z stage] grand product Z (device prefix scan + one
+  batched Fermat inversion, replacing iop.BuildRatioCopyConstraint
+  prove.go:600) + blind -> commit -> FS alpha -> [quotient stage] all four
+  rho-loop coset slices (computeNumerator prove.go:837-1079) + coset-INTT +
+  h-split in ONE program -> batched commit h1,h2,h3 -> FS zeta ->
+  [open stage] folded H + all evaluations at zeta / omega*zeta + the
+  Z-shift quotient in one program -> host scalars -> [lin stage]
+  linearized polynomial -> commit -> fold challenge -> [fold stage]
+  nu-folded opening quotient -> batched commit.
+
+Dispatch discipline (the "Groth16 treatment", VERDICT r4 #3): every region
+between transcript points is ONE jitted program; KZG commits that land
+between the same two challenges share ONE composite-key MSM
+(kzg.commit_many_dev / MSM.many); all static prover tables live on device
+in the PK (keys.PlonkProvingKey.dev). Round 4's prover spent 18.6 of 20.5 s
+(2^8 circuit, real chip) on eager per-op dispatch in the opening stage
+alone; this structure removes it.
 
 All polynomial data is (n_limbs, ...) Montgomery device arrays; host work
 is witness solving and transcript hashing.
@@ -42,16 +53,16 @@ FOLD_ORDER = ("folded_h", "lin", "l", "r", "o", "s1", "s2")
 CHALLENGES = ("gamma", "beta", "alpha", "zeta")
 
 
-def _blind(coeffs, blinders: list[int], n: int):
-    """coeffs (L, m) + Z_H(X) * sum b_i X^i  (Z_H = X^n - 1).
-    Returns (L, n + len(blinders)) array."""
+def _blind(coeffs, blinders, n: int, m: int):
+    """coeffs (L, <=n) + Z_H(X) * sum b_i X^i  (Z_H = X^n - 1), blinders
+    given as a (L, nb) Montgomery array; returns (L, m) with m = n + nb.
+    Pure jnp — runs inside the stage jits."""
     f = _fr
-    nb = len(blinders)
-    out = jnp.pad(coeffs, ((0, 0), (0, n + nb - coeffs.shape[1])))
-    for i, b in enumerate(blinders):
-        bc = f.const(b, mont=True)
-        out = out.at[:, n + i].set(f.add(out[:, n + i], bc))
-        out = out.at[:, i].set(f.sub(out[:, i], bc))
+    nb = blinders.shape[1]
+    assert m == n + nb
+    out = jnp.pad(coeffs, ((0, 0), (0, m - coeffs.shape[1])))
+    out = out.at[:, n:].set(f.add(out[:, n:], blinders))
+    out = out.at[:, :nb].set(f.sub(out[:, :nb], blinders))
     return out
 
 
@@ -60,107 +71,315 @@ def _prefix_mul(x):
     return jax.lax.associative_scan(_fr.mul, x, axis=x.ndim - 1)
 
 
-# --- jitted device regions -------------------------------------------------
+def _horner_evals(stack, z_m):
+    """Evaluate a batch of polynomials at a point: stack (L, B, m)
+    Montgomery, z_m (L,) Montgomery -> (L, B) value limbs (log-depth
+    associative Horner, the device side of kzg.eval_many_dev)."""
+    f = _fr
+    zc = f.broadcast_const(z_m, stack)
+    rev = stack[..., ::-1]
+
+    def comb(e1, e2):
+        m1, a1 = e1
+        m2, a2 = e2
+        return f.mul(m1, m2), f.add(f.mul(m2, a1), a2)
+
+    _ms, accs = jax.lax.associative_scan(comb, (zc, rev), axis=stack.ndim - 1)
+    return accs[..., stack.shape[-1] - 1]
+
+
+def _div_linear(coeffs, z_m):
+    """(q, p(z)): synthetic division of (L, m) by (X - z), z Montgomery."""
+    f = _fr
+    zc = f.broadcast_const(z_m, coeffs)
+
+    def comb(e1, e2):
+        m1, a1 = e1
+        m2, a2 = e2
+        return f.mul(m1, m2), f.add(f.mul(m2, a1), a2)
+
+    n = coeffs.shape[-1]
+    rev = coeffs[..., ::-1]
+    _ms, accs = jax.lax.associative_scan(comb, (zc, rev), axis=coeffs.ndim - 1)
+    q = accs[..., n - 2 :: -1] if n > 1 else accs[..., :0]
+    return q, accs[..., n - 1]
+
+
+# --- jitted stages -----------------------------------------------------------
 # Over the remote-compile tunnel every eager op costs ~5-30 ms of dispatch;
-# the prover's array pipeline is hundreds of small ops, so wall-clock was
-# dispatch-bound (72 s for a 2^8 circuit). Grouping the two hottest regions
-# (grand product, quotient slices) into single jit programs turns each into
-# ONE dispatch; challenge scalars enter as (L,) Montgomery arrays so one
-# compiled program serves every proof of the same shape.
+# each stage below is ONE dispatch. Challenge scalars enter as (L,)
+# Montgomery arrays so one compiled program serves every proof of the same
+# shape. NTT tables are passed as ARGUMENTS, never closed over (a
+# closed-over table becomes an XLA constant and its per-stage broadcasts
+# get constant-folded into GBs of literals at large n — round-3 lesson).
+
+_stage_cache: dict = {}
 
 
-@jax.jit
-def _grand_z_j(lro, id1, id2, id3, s1_t, s2_t, s3_t, gamma_m, beta_m):
-    """Grand-product Z evaluations (iop.BuildRatioCopyConstraint analog,
-    reference prove.go:600): prefix products + one batched inversion."""
-    f = _fr
-    n = lro.shape[-1]
-    gb = f.broadcast_const(gamma_m, lro[:, 0])
-
-    def lin(col, tbl):
-        return f.add(f.add(col, f.mul(f.broadcast_const(beta_m, tbl), tbl)), gb)
-
-    num = f.mul(f.mul(lin(lro[:, 0], id1), lin(lro[:, 1], id2)), lin(lro[:, 2], id3))
-    den = f.mul(f.mul(lin(lro[:, 0], s1_t), lin(lro[:, 1], s2_t)), lin(lro[:, 2], s3_t))
-    pnum = _prefix_mul(num)
-    pden = _prefix_mul(den)
-    zfull = f.mul(pnum, f.inv(pden))
-    one_col = f.broadcast_const(f.one, zfull[:, :1])
-    return jnp.concatenate([one_col, zfull[:, : n - 1]], axis=1)
+def _stage(name, key, build):
+    fn = _stage_cache.get((name, key))
+    if fn is None:
+        fn = jax.jit(build())
+        _stage_cache[(name, key)] = fn
+    return fn
 
 
-_slice_jit: dict = {}
-
-
-def _get_slice_jit(n: int):
-    """Jitted quotient-numerator slice evaluator for domain size n (the
-    rho-loop body, computeNumerator prove.go:980-1045): one dispatch per
-    coset slice instead of ~60."""
-    fn = _slice_jit.get(n)
-    if fn is not None:
-        return fn
+def _wires_stage(n: int):
+    """lro evals (L,3,n) + blinders (L,3,2) -> (hats (L,3,n+2), norm)."""
     ntt_n = get_ntt(BN254_FR, n)
+
+    def build():
+        def impl(lro, bl, inv_tables):
+            lro_c = ntt_n._intt_run(lro, inv_tables) if n < ntt_n.FOUR_STEP_MIN else ntt_n._intt4_run(lro, inv_tables)
+            hats = jnp.stack(
+                [_blind(lro_c[:, i], bl[:, i], n, n + 2) for i in range(3)],
+                axis=1,
+            )
+            return hats, _fr.from_mont(hats)
+
+        return impl
+
+    return _stage("wires", n, build)
+
+
+def _z_stage(n: int):
+    """Grand-product Z (iop.BuildRatioCopyConstraint analog, reference
+    prove.go:600) + blinding: -> (z_hat (L, n+3), norm)."""
+    ntt_n = get_ntt(BN254_FR, n)
+
+    def build():
+        def impl(lro, ids, s_lag, gamma_m, beta_m, zbl, inv_tables):
+            f = _fr
+            gb = f.broadcast_const(gamma_m, lro[:, 0])
+
+            def lin(col, tbl):
+                return f.add(
+                    f.add(col, f.mul(f.broadcast_const(beta_m, tbl), tbl)), gb
+                )
+
+            num = f.mul(
+                f.mul(lin(lro[:, 0], ids[:, 0]), lin(lro[:, 1], ids[:, 1])),
+                lin(lro[:, 2], ids[:, 2]),
+            )
+            den = f.mul(
+                f.mul(lin(lro[:, 0], s_lag[:, 0]), lin(lro[:, 1], s_lag[:, 1])),
+                lin(lro[:, 2], s_lag[:, 2]),
+            )
+            pnum = _prefix_mul(num)
+            pden = _prefix_mul(den)
+            zfull = f.mul(pnum, f.inv(pden))
+            one_col = f.broadcast_const(f.one, zfull[:, :1])
+            z_evals = jnp.concatenate([one_col, zfull[:, : n - 1]], axis=1)
+            z_c = (
+                ntt_n._intt_run(z_evals, inv_tables)
+                if n < ntt_n.FOUR_STEP_MIN
+                else ntt_n._intt4_run(z_evals, inv_tables)
+            )
+            z_hat = _blind(z_c, zbl, n, n + 3)
+            return z_hat, f.from_mont(z_hat)
+
+        return impl
+
+    return _stage("z", n, build)
+
+
+def _quotient_stage(n: int, n_com: int):
+    """All four rho-loop coset slices (computeNumerator prove.go:980-1045)
+    + 4n coset-INTT + h1/h2/h3 split, one dispatch. Slice r covers the
+    4n-coset points with index j == r (mod 4); peak memory O(n) per slice
+    plus the single (L, 4n) result."""
+    ntt_n = get_ntt(BN254_FR, n)
+    ntt_4n = get_ntt(BN254_FR, 4 * n)
     f = _fr
-    # regime dispatch: n >= FOUR_STEP_MIN has no _bitrev/packed table and
-    # _fwd_tables() returns the four-step 3-tuple — _ntt_run would crash
     run = ntt_n._ntt4_run if n >= ntt_n.FOUR_STEP_MIN else ntt_n._ntt_run
+    irun4 = ntt_4n._intt4_run if 4 * n >= ntt_4n.FOUR_STEP_MIN else ntt_4n._intt_run
 
-    def impl(polys, qs, ss, qcps, ccs, sc, omega_pows, tw, C):
-        def eval_slice(coeffs):
-            m = coeffs.shape[1]
-            base = coeffs[:, :n]
-            if m > n:
-                tail = jnp.pad(coeffs[:, n:], ((0, 0), (0, n - (m - n))))
-                base = f.add(base, f.mul(f.broadcast_const(C["xn"], tail), tail))
-            return run(f.mul(base, sc), tw)
+    def build():
+        def impl(polys, qs, ss, qcps, ccs, scs, omega_pows, tw, Cs, Csh, inv4, csi4):
+            # Cs: per-slice consts stacked (4, L); Csh: shared consts (L,)
+            def one_slice(args):
+                sc, C = args
 
-        lc = eval_slice(polys["l"])
-        rc = eval_slice(polys["r"])
-        oc = eval_slice(polys["o"])
-        zc = eval_slice(polys["z"])
-        zwc = eval_slice(polys["zw"])
-        pic = eval_slice(polys["pi"])
-        q = {k: eval_slice(v) for k, v in qs.items()}
-        s = {k: eval_slice(v) for k, v in ss.items()}
-        id1 = f.mul(f.broadcast_const(C["s_r"], omega_pows), omega_pows)
-        id2 = f.mul(f.broadcast_const(C["s_r_k1"], omega_pows), omega_pows)
-        id3 = f.mul(f.broadcast_const(C["s_r_k2"], omega_pows), omega_pows)
-        # L1 = (x^n - 1)/(n (x - 1)): coefficients are all 1/n
-        l1 = f.mul(f.broadcast_const(C["n_inv"], sc), run(sc, tw))
+                def eval_slice(coeffs):
+                    m = coeffs.shape[1]
+                    base = coeffs[:, :n]
+                    if m > n:
+                        tail = jnp.pad(coeffs[:, n:], ((0, 0), (0, n - (m - n))))
+                        base = f.add(
+                            base, f.mul(f.broadcast_const(C["xn"], tail), tail)
+                        )
+                    return run(f.mul(base, sc), tw)
 
-        gate = f.add(
-            f.add(f.mul(q["ql"], lc), f.mul(q["qr"], rc)),
-            f.add(f.mul(q["qm"], f.mul(lc, rc)), f.add(f.mul(q["qo"], oc), q["qc"])),
-        )
-        gate = f.add(gate, pic)
-        for qcp_c, cc in zip(qcps, ccs):
-            gate = f.add(gate, f.mul(eval_slice(qcp_c), eval_slice(cc)))
+                lc = eval_slice(polys["l"])
+                rc = eval_slice(polys["r"])
+                oc = eval_slice(polys["o"])
+                zc = eval_slice(polys["z"])
+                zwc = eval_slice(polys["zw"])
+                pic = eval_slice(polys["pi"])
+                q = {k: eval_slice(v) for k, v in qs.items()}
+                s = {k: eval_slice(v) for k, v in ss.items()}
+                id1 = f.mul(f.broadcast_const(C["s_r"], omega_pows), omega_pows)
+                id2 = f.mul(f.broadcast_const(C["s_r_k1"], omega_pows), omega_pows)
+                id3 = f.mul(f.broadcast_const(C["s_r_k2"], omega_pows), omega_pows)
+                # L1 = (x^n - 1)/(n (x - 1)): coefficients are all 1/n
+                l1 = f.mul(f.broadcast_const(Csh["n_inv"], sc), run(sc, tw))
 
-        gb4 = f.broadcast_const(C["gamma"], lc)
+                gate = f.add(
+                    f.add(f.mul(q["ql"], lc), f.mul(q["qr"], rc)),
+                    f.add(
+                        f.mul(q["qm"], f.mul(lc, rc)),
+                        f.add(f.mul(q["qo"], oc), q["qc"]),
+                    ),
+                )
+                gate = f.add(gate, pic)
+                for qcp_c, cc in zip(qcps, ccs):
+                    gate = f.add(gate, f.mul(eval_slice(qcp_c), eval_slice(cc)))
 
-        def lin4(col, tbl):
-            return f.add(
-                f.add(col, f.mul(f.broadcast_const(C["beta"], tbl), tbl)), gb4
+                gb4 = f.broadcast_const(Csh["gamma"], lc)
+
+                def lin4(col, tbl):
+                    return f.add(
+                        f.add(col, f.mul(f.broadcast_const(Csh["beta"], tbl), tbl)),
+                        gb4,
+                    )
+
+                perm_zw = f.mul(
+                    f.mul(
+                        f.mul(lin4(lc, s["s1"]), lin4(rc, s["s2"])),
+                        lin4(oc, s["s3"]),
+                    ),
+                    zwc,
+                )
+                perm_z = f.mul(
+                    f.mul(f.mul(lin4(lc, id1), lin4(rc, id2)), lin4(oc, id3)), zc
+                )
+                perm = f.sub(perm_zw, perm_z)
+                l1_term = f.mul(l1, f.sub(zc, f.broadcast_const(f.one, zc)))
+                numer = f.add(
+                    gate,
+                    f.add(
+                        f.mul(f.broadcast_const(Csh["a1"], perm), perm),
+                        f.mul(f.broadcast_const(Csh["a2"], l1_term), l1_term),
+                    ),
+                )
+                return f.mul(numer, f.broadcast_const(C["zh_inv"], numer))
+
+            slices = jax.lax.map(one_slice, (scs, Cs))  # (4, L, n)
+            t_evals = (
+                jnp.zeros((f.n, 4 * n), dtype=jnp.uint32)
+                .at[:, 0::4]
+                .set(slices[0])
+                .at[:, 1::4]
+                .set(slices[1])
+                .at[:, 2::4]
+                .set(slices[2])
+                .at[:, 3::4]
+                .set(slices[3])
+            )
+            t_c = f.mul(irun4(t_evals, inv4), csi4)  # coset-INTT, (L, 4n)
+            m = n + 2
+            h = jnp.stack(
+                [t_c[:, :m], t_c[:, m : 2 * m], t_c[:, 2 * m : 3 * m]], axis=1
+            )
+            return h, f.from_mont(h)
+
+        return impl
+
+    return _stage("quotient", (n, n_com), build)
+
+
+def _open1_stage(n: int, n_com: int, maxm: int):
+    """folded H + every evaluation the transcript needs + the Z-shift
+    quotient, one dispatch: returns (folded_h (L, n+2), evals (L, 6+n_com),
+    zu (L,), q2_norm (L, n+2))."""
+    f = _fr
+
+    def build():
+        def impl(h, l_hat, r_hat, o_hat, z_hat, s12, qcp_stack, zm, zm2, zeta_m, oz_m):
+            folded_h = f.add(
+                h[:, 0],
+                f.add(
+                    f.mul(f.broadcast_const(zm, h[:, 1]), h[:, 1]),
+                    f.mul(f.broadcast_const(zm2, h[:, 2]), h[:, 2]),
+                ),
             )
 
-        perm_zw = f.mul(
-            f.mul(f.mul(lin4(lc, s["s1"]), lin4(rc, s["s2"])), lin4(oc, s["s3"])), zwc
-        )
-        perm_z = f.mul(f.mul(f.mul(lin4(lc, id1), lin4(rc, id2)), lin4(oc, id3)), zc)
-        perm = f.sub(perm_zw, perm_z)
-        l1_term = f.mul(l1, f.sub(zc, f.broadcast_const(f.one, zc)))
-        numer = f.add(
-            gate,
-            f.add(
-                f.mul(f.broadcast_const(C["a1"], perm), perm),
-                f.mul(f.broadcast_const(C["a2"], l1_term), l1_term),
-            ),
-        )
-        return f.mul(numer, f.broadcast_const(C["zh_inv"], numer))
+            def pad_to(x, m):
+                return jnp.pad(x, ((0, 0), (0, m - x.shape[1])))
 
-    fn = jax.jit(impl)
-    _slice_jit[n] = fn
-    return fn
+            stack = [
+                pad_to(l_hat, maxm),
+                pad_to(r_hat, maxm),
+                pad_to(o_hat, maxm),
+                s12[:, 0],
+                s12[:, 1],
+                pad_to(folded_h, maxm),
+            ]
+            if n_com:
+                stack += [qcp_stack[:, i] for i in range(n_com)]
+            evals = _horner_evals(jnp.stack(stack, axis=1), zeta_m)
+            zu = _horner_evals(z_hat[:, None, :], oz_m)[:, 0]
+            q2, _ = _div_linear(z_hat, oz_m)
+            return folded_h, evals, zu, f.from_mont(q2)
+
+        return impl
+
+    return _stage("open1", (n, n_com, maxm), build)
+
+
+def _lin_stage(n_com: int, maxm: int):
+    """Linearized polynomial (computeLinearizedPolynomial prove.go:707-836)
+    + its evaluation at zeta: (lin (L, maxm), lin_norm, lin_zeta (L,))."""
+    f = _fr
+
+    def build():
+        def impl(lin_base, z_hat, ccs, wts, zeta_m):
+            def pad_to(x, m):
+                return jnp.pad(x, ((0, 0), (0, m - x.shape[1])))
+
+            cols = [lin_base[:, i] for i in range(lin_base.shape[1])]
+            stack = cols[:5] + [cols[5], pad_to(z_hat, maxm)] + [
+                pad_to(c, maxm) for c in ccs
+            ]
+            st = jnp.stack(stack, axis=1)
+            lin = f.sum(f.mul(st, wts[:, :, None]), axis=1)
+            lin_zeta = _horner_evals(lin[:, None, :], zeta_m)[:, 0]
+            return lin, f.from_mont(lin), lin_zeta
+
+        return impl
+
+    return _stage("lin", (n_com, maxm), build)
+
+
+def _fold_stage(n_com: int, maxm: int):
+    """nu-folded opening quotient (kzg.BatchOpenSinglePoint fold,
+    prove.go:823): q = (sum nu^i p_i - v)/(X - zeta), returned NORMAL."""
+    f = _fr
+
+    def build():
+        def impl(folded_h, lin, l_hat, r_hat, o_hat, s12, qcp_stack, nupow, zeta_m):
+            def pad_to(x, m):
+                return jnp.pad(x, ((0, 0), (0, m - x.shape[1])))
+
+            stack = [
+                pad_to(folded_h, maxm),
+                pad_to(lin, maxm),
+                pad_to(l_hat, maxm),
+                pad_to(r_hat, maxm),
+                pad_to(o_hat, maxm),
+                s12[:, 0],
+                s12[:, 1],
+            ]
+            if n_com:
+                stack += [qcp_stack[:, i] for i in range(n_com)]
+            st = jnp.stack(stack, axis=1)
+            folded_poly = f.sum(f.mul(st, nupow[:, :, None]), axis=1)
+            q, _ = _div_linear(folded_poly, zeta_m)
+            return f.from_mont(q)
+
+        return impl
+
+    return _stage("fold", (n_com, maxm), build)
 
 
 def prove(
@@ -196,6 +415,8 @@ def prove(
     rand = pcfg.rng or (lambda: secrets.randbelow(p))
     ntt_n = get_ntt(BN254_FR, n)
     ntt_4n = get_ntt(BN254_FR, 4 * n)
+    tab = pk.dev()
+    maxm = tab["maxm"]
 
     # ---- 0. BSB22 commitments: the prover-side hint override computes the
     # REAL committed polynomial P_i (values at committed rows + blinding at
@@ -245,22 +466,15 @@ def prove(
     r_e = [W[g.xb] for g in cs.gates] + [0] * pad
     o_e = [W[g.xc] for g in cs.gates] + [0] * pad
     lro = f.array(l_e + r_e + o_e).reshape(f.n, 3, n)
-    lro_c = ntt_n.intt(lro)  # (L, 3, n) coefficient forms
-    # typed views (iop.Polynomial, the gnark-crypto iop analog): basis
-    # bookkeeping is explicit from here on — blinding takes CANONICAL in,
-    # commits assert CANONICAL (poly degree n+1 after blinding, so the
-    # wrapper types the pre-blind column)
-    l_c = Polynomial(lro_c[:, 0], Basis.CANONICAL, Layout.REGULAR, BN254_FR)
-    r_c = Polynomial(lro_c[:, 1], Basis.CANONICAL, Layout.REGULAR, BN254_FR)
-    o_c = Polynomial(lro_c[:, 2], Basis.CANONICAL, Layout.REGULAR, BN254_FR)
-
-    l_hat = _blind(l_c.data, [rand(), rand()], n)
-    r_hat = _blind(r_c.data, [rand(), rand()], n)
-    o_hat = _blind(o_c.data, [rand(), rand()], n)
-
-    l_com = kzg.commit_dev(pk.srs, f.from_mont(l_hat))
-    r_com = kzg.commit_dev(pk.srs, f.from_mont(r_hat))
-    o_com = kzg.commit_dev(pk.srs, f.from_mont(o_hat))
+    # blinders drawn in the reference's order: l, r, o (2 each), z (3 below)
+    bl_lro = f.array([rand() for _ in range(6)]).reshape(f.n, 3, 2)
+    hats, hats_norm = _wires_stage(n)(lro, bl_lro, ntt_n._inv_tables())
+    # typed views (iop.Polynomial, the gnark-crypto iop analog): the wire
+    # columns leave this stage in CANONICAL basis, blinded to degree n+1
+    l_hat = Polynomial(hats[:, 0], Basis.CANONICAL, Layout.REGULAR, BN254_FR).data
+    r_hat = Polynomial(hats[:, 1], Basis.CANONICAL, Layout.REGULAR, BN254_FR).data
+    o_hat = Polynomial(hats[:, 2], Basis.CANONICAL, Layout.REGULAR, BN254_FR).data
+    l_com, r_com, o_com = kzg.commit_many_dev(pk.srs, hats_norm)
     t0 = _mark("lro", t0)
 
     # ---- 2. gamma, beta ------------------------------------------------------
@@ -276,19 +490,17 @@ def prove(
 
     # ---- 3. grand product Z (one jitted dispatch) ---------------------------
     bb = f.const(beta, mont=True)
-    id1 = f.array(ntt_n.domain.powers)  # omega^i
-    id2 = f.mul_const(id1, vk.k1)
-    id3 = f.mul_const(id1, vk.k2)
-    s1_t = f.array(pk.s_evals_int["s1"])
-    s2_t = f.array(pk.s_evals_int["s2"])
-    s3_t = f.array(pk.s_evals_int["s3"])
-    z_evals = _grand_z_j(
-        lro, id1, id2, id3, s1_t, s2_t, s3_t, f.const(gamma, mont=True), bb
+    zbl = f.array([rand() for _ in range(3)]).reshape(f.n, 1, 3)[:, 0]
+    z_hat, z_norm = _z_stage(n)(
+        lro,
+        tab["ids"],
+        tab["s_lag"],
+        f.const(gamma, mont=True),
+        bb,
+        zbl,
+        ntt_n._inv_tables(),
     )
-    z_p = Polynomial(z_evals, Basis.LAGRANGE, Layout.REGULAR, BN254_FR)
-    z_c = z_p.to_canonical().data
-    z_hat = _blind(z_c, [rand(), rand(), rand()], n)
-    z_com = kzg.commit_dev(pk.srs, f.from_mont(z_hat))
+    z_com = kzg.commit_dev(pk.srs, z_norm)
     t0 = _mark("z", t0)
 
     # deriveAlpha binds the Bsb22 commitments FIRST, then Z (prove.go:504-512)
@@ -297,14 +509,9 @@ def prove(
     tr.bind("alpha", g1_bytes(z_com))
     alpha = tr.challenge_int("alpha", p)
 
-    # ---- 4. quotient t via the rho-loop (gnark computeNumerator,
-    # prove.go:980-1045): evaluate the numerator one size-n coset slice at a
-    # time — slice r covers the 4n-coset points with index j == r (mod 4),
-    # i.e. the coset (shift*w4^r)*H. Peak memory is O(n) per slice (plus the
-    # single (L, 4n) result), never O(4n x columns) ---------------------------
-    # z(omega X): scale coeff i by omega^i (slice-independent)
-    wpow = f.array([pow(vk.generator, i, p) for i in range(z_hat.shape[1])])
-    zw_hat = f.mul(z_hat, wpow)
+    # ---- 4. quotient t via the rho-loop, one dispatch -----------------------
+    # z(omega X): scale coeff i by omega^i (slice-independent; done in-stage)
+    zw_hat = f.mul(z_hat, tab["wpow"][:, : z_hat.shape[1]])
     # public-input polynomial; the prover completes it with the BSB22
     # challenge at each commitment-injection row (qk completion,
     # reference prove.go:415-416)
@@ -319,104 +526,73 @@ def prove(
 
     a1 = f.const(alpha, mont=True)
     a2 = f.const(alpha * alpha % p, mont=True)
-    n_inv_m = f.const(pow(n, -1, p), mont=True)
-    slice_fn = _get_slice_jit(n)
     polys = {"l": l_hat, "r": r_hat, "o": o_hat, "z": z_hat, "zw": zw_hat, "pi": pi_hat}
-    tw_n = ntt_n._fwd_tables()
-
-    def numerator_slice(r: int):
-        xn = pk.slice_xn[r]  # x^n on this slice (constant)
-        s_r = pk.slice_shift[r]
-        C = {
-            "xn": f.const(xn, mont=True),
-            "zh_inv": f.const(pow((xn - 1) % p, -1, p), mont=True),
-            "s_r": f.const(s_r, mont=True),
-            "s_r_k1": f.const(s_r * vk.k1 % p, mont=True),
-            "s_r_k2": f.const(s_r * vk.k2 % p, mont=True),
-            "gamma": f.const(gamma, mont=True),
-            "beta": bb,
-            "a1": a1,
-            "a2": a2,
-            "n_inv": n_inv_m,
-        }
-        return slice_fn(
-            polys,
-            pk.q_coeffs,
-            pk.s_coeffs,
-            tuple(pk.qcp_coeffs),
-            tuple(c_coeffs),
-            pk.coset_scale[r],
-            pk.omega_pows,
-            tw_n,
-            C,
-        )
-
-    t_evals = jnp.zeros((f.n, 4 * n), dtype=jnp.uint32)
+    per_slice = {"xn": [], "zh_inv": [], "s_r": [], "s_r_k1": [], "s_r_k2": []}
     for r in range(4):
-        t_evals = t_evals.at[:, r::4].set(numerator_slice(r))
-    t_p = Polynomial(t_evals, Basis.LAGRANGE_COSET, Layout.REGULAR, BN254_FR)
-    t_c = t_p.to_canonical().data  # (L, 4n)
-    m = n + 2
-    h1 = t_c[:, :m]
-    h2 = t_c[:, m : 2 * m]
-    h3 = t_c[:, 2 * m : 3 * m]
-    h1_com = kzg.commit_dev(pk.srs, f.from_mont(h1))
-    h2_com = kzg.commit_dev(pk.srs, f.from_mont(h2))
-    h3_com = kzg.commit_dev(pk.srs, f.from_mont(h3))
+        xn = pk.slice_xn[r]
+        s_r = pk.slice_shift[r]
+        per_slice["xn"].append(f.const(xn, mont=True))
+        per_slice["zh_inv"].append(f.const(pow((xn - 1) % p, -1, p), mont=True))
+        per_slice["s_r"].append(f.const(s_r, mont=True))
+        per_slice["s_r_k1"].append(f.const(s_r * vk.k1 % p, mont=True))
+        per_slice["s_r_k2"].append(f.const(s_r * vk.k2 % p, mont=True))
+    Cs = {k: jnp.stack(v, axis=0) for k, v in per_slice.items()}
+    Csh = {
+        "gamma": f.const(gamma, mont=True),
+        "beta": bb,
+        "a1": a1,
+        "a2": a2,
+        "n_inv": f.const(pow(n, -1, p), mont=True),
+    }
+    scs_stack = jnp.stack([pk.coset_scale[r] for r in range(4)], axis=0)
+    csi4 = ntt_4n._coset_tables()[1]
+    h, h_norm = _quotient_stage(n, n_com)(
+        polys,
+        pk.q_coeffs,
+        pk.s_coeffs,
+        tuple(pk.qcp_coeffs),
+        tuple(c_coeffs),
+        scs_stack,
+        pk.omega_pows,
+        ntt_n._fwd_tables(),
+        Cs,
+        Csh,
+        ntt_4n._inv_tables(),
+        csi4,
+    )
+    h1_com, h2_com, h3_com = kzg.commit_many_dev(pk.srs, h_norm)
 
     for c in (h1_com, h2_com, h3_com):
         tr.bind("zeta", g1_bytes(c))
     zeta = tr.challenge_int("zeta", p)
     t0 = _mark("quotient", t0)
 
-    # ---- 5. linearized polynomial (gnark computeLinearizedPolynomial,
-    # prove.go:707-836) ---------------------------------------------------------
+    # ---- 5. openings --------------------------------------------------------
     from ...curves.ref import G1
 
     m2 = n + 2
     zeta_m2 = pow(zeta, m2, p)
     omega_zeta = zeta * vk.generator % p
-
-    # foldedH = h1 + zeta^(n+2) h2 + zeta^(2(n+2)) h3 (coefficient form)
-    zm = f.const(zeta_m2, mont=True)
-    zm2 = f.const(zeta_m2 * zeta_m2 % p, mont=True)
-    folded_h = f.add(
-        h1,
-        f.add(
-            f.mul(f.broadcast_const(zm, h2), h2),
-            f.mul(f.broadcast_const(zm2, h3), h3),
-        ),
+    folded_h, evals, zu_limb, q2_norm = _open1_stage(n, n_com, maxm)(
+        h,
+        l_hat,
+        r_hat,
+        o_hat,
+        z_hat,
+        tab["s12"],
+        tab["qcp_stack"],
+        f.const(zeta_m2, mont=True),
+        f.const(zeta_m2 * zeta_m2 % p, mont=True),
+        f.const(zeta, mont=True),
+        f.const(omega_zeta, mont=True),
     )
-
-    # evaluations at zeta of the blinded wires and s1, s2 + zu at omega*zeta
-    def pad_to(x, m):
-        return jnp.pad(x, ((0, 0), (0, m - x.shape[1])))
-
-    maxm = z_hat.shape[1]
-    eval_stack = jnp.stack(
-        [
-            pad_to(l_hat, maxm),
-            pad_to(r_hat, maxm),
-            pad_to(o_hat, maxm),
-            pad_to(pk.s_coeffs["s1"], maxm),
-            pad_to(pk.s_coeffs["s2"], maxm),
-            pad_to(folded_h, maxm),
-        ],
-        axis=1,
-    )
-    lb, rb, ob, s1b, s2b, fhb = kzg.eval_many_dev(eval_stack, zeta)
-    zu = kzg.eval_many_dev(z_hat.reshape(f.n, 1, -1), omega_zeta)[0]
-    qcp_zeta = []
-    if n_com:
-        qstack = jnp.stack([pad_to(c, maxm) for c in pk.qcp_coeffs], axis=1)
-        qcp_zeta = [v % p for v in kzg.eval_many_dev(qstack, zeta)]
+    ev = f.to_ints(evals)  # [lb, rb, ob, s1b, s2b, fhb, qcp...] (ONE sync)
+    lb, rb, ob, s1b, s2b, fhb = ev[:6]
+    qcp_zeta = [v % p for v in ev[6:]]
+    zu = f.to_ints(zu_limb.reshape(f.n, 1))[0]
 
     # scalar weights of the linearized polynomial
-    l1_zeta = (
-        (pow(zeta, n, p) - 1)
-        * pow(n * (zeta - 1) % p, -1, p)
-        % p
-    )
+    l1_zeta = (pow(zeta, n, p) - 1) * pow(n * (zeta - 1) % p, -1, p) % p
     s3_scal = (
         alpha
         * zu
@@ -439,26 +615,16 @@ def prove(
     rl = lb * rb % p
 
     # BSB22: the linearization gains sum_i qcp_i(zeta) * P_i(X)
-    # (computeLinearizedPolynomial's qcpzeta/cCommitments args, prove.go:753-765)
-    lin_stack = jnp.stack(
-        [
-            pad_to(pk.q_coeffs["ql"], maxm),
-            pad_to(pk.q_coeffs["qr"], maxm),
-            pad_to(pk.q_coeffs["qm"], maxm),
-            pad_to(pk.q_coeffs["qo"], maxm),
-            pad_to(pk.q_coeffs["qc"], maxm),
-            pad_to(pk.s_coeffs["s3"], maxm),
-            pad_to(z_hat, maxm),
-        ]
-        + [pad_to(c, maxm) for c in c_coeffs],
-        axis=1,
-    )
+    # (computeLinearizedPolynomial's qcpzeta/cCommitments args,
+    # prove.go:753-765)
     wts = f.array([lb, rb, rl, ob, 1, s3_scal, z_scal] + qcp_zeta).reshape(
-        f.n, 7 + n_com, 1
+        f.n, 7 + n_com
     )
-    lin = f.sum(f.mul(lin_stack, wts), axis=1)  # (L, maxm)
-    lin_zeta = kzg.eval_many_dev(lin.reshape(f.n, 1, -1), zeta)[0]
-    lin_com = kzg.commit_dev(pk.srs, f.from_mont(lin))
+    lin, lin_norm, lin_zeta_limb = _lin_stage(n_com, maxm)(
+        tab["lin_base"], z_hat, tuple(c_coeffs), wts, f.const(zeta, mont=True)
+    )
+    lin_zeta = f.to_ints(lin_zeta_limb.reshape(f.n, 1))[0]
+    lin_com = kzg.commit_dev(pk.srs, lin_norm)
 
     # folded H digest (host, 2 tiny scalar muls — verifier recomputes it)
     folded_h_com = G1.add(
@@ -466,7 +632,7 @@ def prove(
         G1.add(G1.mul(h2_com, zeta_m2), G1.mul(h3_com, zeta_m2 * zeta_m2 % p)),
     )
 
-    # ---- 6. batched opening at zeta + Z at omega*zeta -------------------------
+    # ---- 6. batched opening at zeta + Z at omega*zeta -----------------------
     # BSB22: the qcp trace polynomials join the batched opening at positions
     # 7+ (batchOpening, prove.go:778-812)
     claimed = [fhb, lin_zeta, lb, rb, ob, s1b, s2b] + qcp_zeta
@@ -478,27 +644,23 @@ def prove(
     nu = kzg_fold_challenge(
         zeta, digests, claimed, [fr_bytes(zu)], p, hash_factory=pcfg.kzg_fold_hash
     )
-
-    open_stack = jnp.stack(
-        [
-            pad_to(folded_h, maxm),
-            pad_to(lin, maxm),
-            pad_to(l_hat, maxm),
-            pad_to(r_hat, maxm),
-            pad_to(o_hat, maxm),
-            pad_to(pk.s_coeffs["s1"], maxm),
-            pad_to(pk.s_coeffs["s2"], maxm),
-        ]
-        + [pad_to(c, maxm) for c in pk.qcp_coeffs],
-        axis=1,
-    )
     nupows = [pow(nu, i, p) for i in range(len(claimed))]
-    np_ = f.array(nupows).reshape(f.n, len(claimed), 1)
-    folded_poly = f.sum(f.mul(open_stack, np_), axis=1)
-    q_poly, _ = kzg.div_by_linear_dev(folded_poly, zeta)
-    batched_h = kzg.commit_dev(pk.srs, f.from_mont(q_poly))
-    q2, _ = kzg.div_by_linear_dev(z_hat, omega_zeta)
-    z_shifted_h = kzg.commit_dev(pk.srs, f.from_mont(q2))
+    q_norm = _fold_stage(n_com, maxm)(
+        folded_h,
+        lin,
+        l_hat,
+        r_hat,
+        o_hat,
+        tab["s12"],
+        tab["qcp_stack"],
+        f.array(nupows).reshape(f.n, len(claimed)),
+        f.const(zeta, mont=True),
+    )
+    # one composite MSM for both opening quotients (q2 padded to match)
+    q2p = jnp.pad(q2_norm, ((0, 0), (0, q_norm.shape[1] - q2_norm.shape[1])))
+    batched_h, z_shifted_h = kzg.commit_many_dev(
+        pk.srs, jnp.stack([q_norm, q2p], axis=1)
+    )
     _mark("open", t0)
 
     return PlonkProof(

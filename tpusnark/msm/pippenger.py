@@ -78,6 +78,35 @@ def get_msm_for(curve: str, n_points: int, curve_name: str = "bn254") -> "MSM":
     return get_msm(curve, auto_c(n_points), curve_name)
 
 
+def auto_c_many(n_points: int, k: int, scalar_bits: int = 254) -> int:
+    """Window size for a k-polynomial composite MSM: minimize the modeled
+    per-MSM cost W(c) * [strip adds + compaction log-scan over kB + C slots
+    + weighting ~2kB], which pushes c DOWN as k grows (the compaction and
+    weighting phases scale with k * 2^c while the strip adds don't)."""
+    M0 = k * max(1, n_points)
+    best_c, best_cost = 2, float("inf")
+    for c in range(4, 17):
+        W = -(-scalar_bits // c)
+        B = 1 << c
+        C = min(1 << 13, 1 << max(3, (M0 - 1).bit_length() - 6))
+        K = k * B + C
+        cost = W * (
+            M0 * 12.5  # strip mixed adds
+            + K * max(1, (K - 1).bit_length()) * 14  # compaction log-scan
+            + 2 * k * B * 14  # bucket weighting
+        )
+        if cost < best_cost:
+            best_c, best_cost = c, cost
+    return best_c
+
+
+def get_msm_many_for(
+    curve: str, n_points: int, k: int, curve_name: str = "bn254"
+) -> "MSM":
+    """MSM engine sized for k same-size polynomials over shared points."""
+    return get_msm(curve, auto_c_many(n_points, k), curve_name)
+
+
 def window_digits(scalars, n_limbs: int, c: int, n_windows: int):
     """(n_limbs, N) normal-form 16-bit limbs -> (n_windows, N) c-bit digits."""
     assert c <= 16
@@ -113,6 +142,7 @@ class MSM:
         self.scalar_bits = fr.spec.modulus.bit_length()
         self.n_windows = -(-self.scalar_bits // c)
         self._msm_j = jax.jit(self._msm_impl)
+        self._many_j = jax.jit(self._msm_many_impl)
 
     def muls_per_point_estimate(self) -> float:
         """Montgomery-mul-equivalents per point of the CURRENT algorithm
@@ -128,32 +158,44 @@ class MSM:
         projective point with batch dim 1."""
         return self._msm_j(points_affine, scalars_norm)
 
+    def many(self, points_affine, scalars_norm_k):
+        """k MSMs over SHARED points: scalars (L, k, N) NORMAL-form limbs.
+        Returns a projective point with batch dim k. One composite-key
+        pipeline — k same-size MSMs cost barely more than one at small N."""
+        return self._many_j(points_affine, scalars_norm_k)
+
     # ------------------------------------------------------------ tiny sizes
     ladder_threshold: int = 96
 
-    def _ladder_impl(self, points_affine, scalars):
+    def _ladder_many_impl(self, points_affine, scalars):
         """Bit ladder for tiny N: acc = 2*acc + sum(bit_i ? P_i : O), one
         lax.scan over scalar bits MSB-first. Orders of magnitude smaller
         graph than the bucket pipeline (the XLA:CPU mesh dryrun compiles the
         per-device-shard MSM; an 85-window Pippenger for an 8-point shard
         was the compile-time long pole), and tiny-N proves are launch-bound
-        anyway."""
+        anyway. scalars: (L, k, N); the point coords broadcast over k."""
         ops = self.ops
         X, Y, inf = points_affine
         nbits = self.scalar_bits
         rows = []
         for b in reversed(range(nbits)):
-            k, r = divmod(b, 16)
-            rows.append((scalars[k] >> jnp.uint32(r)) & jnp.uint32(1))
-        bits = jnp.stack(rows, axis=0)  # (nbits, N), MSB first
-        pts = ops.from_affine((X, Y, inf))
-        ident = ops.identity_like(X)
-        acc0 = ops.identity_like(tree_map(lambda a: a[..., :1], X))
+            k_, r = divmod(b, 16)
+            rows.append((scalars[k_] >> jnp.uint32(r)) & jnp.uint32(1))
+        bits = jnp.stack(rows, axis=0)  # (nbits, k, N), MSB first
+        # broadcast point coords over the poly axis: (L, N) -> (L, 1, N)
+        Xb, Yb = tree_map(lambda a: a[:, None, :], (X, Y))
+        pts = ops.from_affine((Xb, Yb, inf[None, :]))
+        ident = ops.identity_like(Xb)
+        kk = scalars.shape[1]
+        acc_templ = tree_map(
+            lambda a: jnp.broadcast_to(a[:, None, :1], (a.shape[0], kk, 1)), X
+        )
+        acc0 = ops.identity_like(acc_templ)
 
         def fold(v, m):
             while m > 1:
                 if m % 2:
-                    one = tree_map(lambda a: a[..., :1], ident)
+                    one = ops.identity_like(tree_map(lambda a: a[..., :1], v[0]))
                     v = tree_map(
                         lambda a, b: jnp.concatenate([a, b], axis=-1), v, one
                     )
@@ -176,67 +218,105 @@ class MSM:
 
     # ------------------------------------------------------------------ impl
     def _msm_impl(self, points_affine, scalars):
+        """Single-polynomial entry: (L, N) scalars -> batch-1 point."""
+        out = self._msm_core(points_affine, scalars[:, None, :])
+        return out
+
+    def _msm_many_impl(self, points_affine, scalars):
+        """Batched entry: (L, k, N) scalars over SHARED points -> batch-k
+        point (one fused composite-key pipeline; see _msm_core)."""
+        return self._msm_core(points_affine, scalars)
+
+    def _msm_core(self, points_affine, scalars):
+        """MSM of k polynomials over one shared point set.
+
+        scalars: (L, k, N0). Returns a projective point with batch dim k.
+
+        k > 1 uses COMPOSITE bucket keys (poly_id * B + digit): all k MSMs
+        share one sort, one gather, one strip scan and one compaction per
+        window, so k same-size MSMs cost barely more than one at small N —
+        the PLONK prover's ~10 same-SRS KZG commits were each paying the
+        full per-window launch overhead (reference counterpart: the 11
+        goroutine-parallel commits in backend/plonk/bn254/prove.go:139-169)."""
+        k = scalars.shape[1]
         if points_affine[2].shape[-1] <= self.ladder_threshold:
-            return self._ladder_impl(points_affine, scalars)
+            return self._ladder_many_impl(points_affine, scalars)
         ops, c = self.ops, self.c
         B = 1 << c
+        BK = k * B
         X, Y, inf = points_affine
         N0 = inf.shape[-1]
+        M0 = k * N0
 
-        # strip layout: C lanes of R sequential rows; pad N to C*R with
-        # identity points (digit 0 -> the ignored bucket)
-        use_strips = N0 >= self.strip_threshold
+        # strip layout: C lanes of R sequential rows over the M0 = k*N0
+        # flattened records; pad M0 to C*R with key-0 records (the ignored
+        # weight-0 bucket of poly 0)
+        use_strips = M0 >= self.strip_threshold
         if use_strips:
             # R >= 64 rows per strip: the compaction log-scan costs
-            # O((B + C) log(B + C)) adds per window, so keep C small relative
-            # to N (N/64) while bounded by self.strips for lane width
-            C = min(self.strips, 1 << max(3, (N0 - 1).bit_length() - 6))
-            R = -(-N0 // C)
-            N = C * R
+            # O((kB + C) log(kB + C)) adds per window, so keep C small
+            # relative to M0 (M0/64) while bounded by self.strips
+            C = min(self.strips, 1 << max(3, (M0 - 1).bit_length() - 6))
+            R = -(-M0 // C)
+            M = C * R
         else:
-            N = N0
-        if N != N0:
-            pad = N - N0
-            X = tree_map(lambda a: jnp.pad(a, ((0, 0), (0, pad))), X)
-            Y = tree_map(lambda a: jnp.pad(a, ((0, 0), (0, pad))), Y)
-            inf = jnp.pad(inf, (0, pad), constant_values=True)
-            scalars = jnp.pad(scalars, ((0, 0), (0, pad)))
+            M = M0
 
-        digits = window_digits(scalars, self.fr.n, c, self.n_windows)
-        # infinity inputs always land in the (ignored) 0 bucket
-        digits = jnp.where(inf[None, :], jnp.uint32(0), digits)
-        aff0 = (X, Y, inf)
+        digits = window_digits(
+            scalars.reshape(self.fr.n, M0), self.fr.n, c, self.n_windows
+        )
+        # composite keys: poly_id * B + digit; infinity inputs land in their
+        # poly's (ignored, weight-0) 0 bucket
+        inf_flat = jnp.tile(inf, k) if k > 1 else inf
+        poly_off = (
+            (jnp.arange(M0, dtype=jnp.uint32) // jnp.uint32(N0)) * jnp.uint32(B)
+            if k > 1
+            else jnp.uint32(0)
+        )
+        digits = jnp.where(inf_flat[None, :], jnp.uint32(0), digits) + poly_off
+        if M != M0:
+            digits = jnp.pad(digits, ((0, 0), (0, M - M0)))
 
         # ---- packed point image for the per-window permutation ----------
         # The sorted-order point gather dominated the MSM (61 ms/window at
         # 2^20 on v5e): TPU random gathers run at ~2-3 GB/s regardless of
         # axis, so the fix is to SHRINK THE GATHERED BYTES. Limbs are 16-bit
         # values stored in u32 lanes — half the gathered bits were zeros.
-        # Pack limb pairs into full u32 rows ((N, L_total/2), 64 B/point for
-        # G1) once per MSM; each window row-gathers the packed image
-        # (29.6 ms measured) and unpacks with cheap wide shifts.
+        # Pack limb pairs into full u32 rows ((N0, L_total/2), 64 B/point
+        # for G1) once per MSM; each window row-gathers the packed image
+        # (29.6 ms measured at 2^20) and unpacks with cheap wide shifts.
+        # Record j's point is j mod N0 (records are poly-major).
         if use_strips:
             xy_leaves, xy_tree = jax.tree_util.tree_flatten((X, Y))
             leaf_rows = [l.shape[0] for l in xy_leaves]
-            allc = jnp.concatenate(xy_leaves, axis=0)  # (Ltot, N)
+            allc = jnp.concatenate(xy_leaves, axis=0)  # (Ltot, N0)
             packed = (allc[0::2] | (allc[1::2] << jnp.uint32(16))).T
             Ltot = allc.shape[0]
 
             def gather_points(order):
-                g = packed[order]  # (N, Ltot//2) contiguous-row gather
+                pidx = order % N0 if (k > 1 or M != M0) else order
+                g = packed[pidx]  # (M, Ltot//2) contiguous-row gather
                 gt = g.T
                 lo = gt & jnp.uint32(0xFFFF)
                 hi = gt >> jnp.uint32(16)
-                full = jnp.stack([lo, hi], axis=1).reshape(Ltot, N)
+                full = jnp.stack([lo, hi], axis=1).reshape(Ltot, M)
                 leaves2, ofs = [], 0
                 for r in leaf_rows:
                     leaves2.append(full[ofs : ofs + r])
                     ofs += r
                 Xg, Yg = jax.tree_util.tree_unflatten(xy_tree, leaves2)
-                return (Xg, Yg, inf[order])
+                return (Xg, Yg, inf[pidx])
+        else:
+            # flat (tiled) affine image for the direct log-scan path
+            if k > 1:
+                aff0 = tree_map(
+                    lambda a: jnp.tile(a, (1,) * (a.ndim - 1) + (k,)), (X, Y)
+                ) + (jnp.tile(inf, k),)
+                aff0 = (aff0[0], aff0[1], aff0[2])
+            else:
+                aff0 = (X, Y, inf)
 
-        iota_b = jnp.arange(B, dtype=jnp.int32)
-        SENT = jnp.uint32(B)  # sorts after every real bucket key
+        SENT = jnp.uint32(BK)  # sorts after every real bucket key
 
         def fold_sum(vals, m: int):
             """Sum m points along the trailing axis: shape-preserving
@@ -260,7 +340,7 @@ class MSM:
 
         def log_scan_buckets(skey, pts, m):
             """Segmented Hillis-Steele scan over m sorted records + scatter
-            of the segment-end sums into the B+1 bucket slots."""
+            of the segment-end sums into the kB+1 bucket slots."""
             iota_m = jnp.arange(m, dtype=jnp.int32)
             rounds = max((m - 1).bit_length(), 0)
 
@@ -275,11 +355,11 @@ class MSM:
             is_end = jnp.concatenate([skey[:-1] != skey[1:], jnp.array([True])])
             sidx = jnp.where(is_end, skey, SENT).astype(jnp.int32)
             x_templ = tree_map(
-                lambda a: jnp.zeros(a.shape[:-1] + (B + 1,), a.dtype), pts[0]
+                lambda a: jnp.zeros(a.shape[:-1] + (BK + 1,), a.dtype), pts[0]
             )
             ident_base = ops.identity_like(x_templ)
             return tree_map(
-                lambda ini, a: ini.at[..., sidx].set(a)[..., :B], ident_base, pts
+                lambda ini, a: ini.at[..., sidx].set(a)[..., :BK], ident_base, pts
             )
 
         def strip_buckets(skey, aff):
@@ -314,13 +394,14 @@ class MSM:
             fpts = tree_map(
                 lambda ys, fin: jnp.concatenate([ys, fin[None]], axis=0), fpts, acc
             )
-            M = (R + 1) * C
-            fkeys = fkeys.reshape(M)
-            # records back to trailing batch axis: (R+1, ..., C) -> (..., M)
+            Mrec = (R + 1) * C
+            fkeys = fkeys.reshape(Mrec)
+            # records back to trailing batch axis: (R+1, ..., C) -> (..., Mrec)
             fpts = tree_map(
-                lambda a: jnp.moveaxis(a, 0, -2).reshape(a.shape[1:-1] + (M,)), fpts
+                lambda a: jnp.moveaxis(a, 0, -2).reshape(a.shape[1:-1] + (Mrec,)),
+                fpts,
             )
-            K = min(M, B + C)
+            K = min(Mrec, BK + C)
             ridx = jnp.argsort(fkeys)[:K]
             skey2 = fkeys[ridx]
             pts3 = tree_map(lambda a: a[..., ridx], fpts)
@@ -374,8 +455,13 @@ class MSM:
                 buckets = strip_buckets(skey, aff)
             else:
                 pts = tree_map(lambda a: a[..., order], ops.from_affine(aff0))
-                buckets = log_scan_buckets(skey, pts, N)
-            return weighted_buckets(buckets)  # batch-1 point
+                buckets = log_scan_buckets(skey, pts, M)
+            # (.., kB) -> (.., k, B): per-poly weighting, batch-k point out
+            buckets = tree_map(
+                lambda a: a.reshape(a.shape[:-1] + (k, B)), buckets
+            )
+            out = weighted_buckets(buckets)  # (.., k, 1)
+            return tree_map(lambda a: a[..., 0], out)  # (.., k)
 
         # Window scheduling is backend-dependent (decided at trace time):
         #  * TPU: sequential windows (lax.scan). The per-step work runs as

@@ -91,6 +91,26 @@ def commit_dev(srs: SRS, coeffs_norm) -> tuple:
     return out
 
 
+def commit_many_dev(srs: SRS, coeffs_norm_k) -> list:
+    """Batched commit: coeffs (L, k, m) NORMAL-form fr limbs over the SRS.
+    Returns k affine host points from ONE composite-key MSM (MSM.many):
+    k same-SRS commits share one sort/gather/accumulation per window —
+    the TPU answer to the reference prover's goroutine-parallel KZG commits
+    (/root/reference/backend/plonk/bn254/prove.go:139-169)."""
+    from ..curves.encoding import g1_from_device_proj
+    from ..msm.pippenger import get_msm_many_for
+
+    k, m = coeffs_norm_k.shape[1], coeffs_norm_k.shape[2]
+    dev = srs.device()
+    pts = dev["g1"]
+    npts = pts[2].shape[0]
+    assert m <= npts, "polynomial larger than SRS"
+    if m < npts:
+        pts = jax.tree_util.tree_map(lambda a: a[..., :m], pts)
+    raw = get_msm_many_for("g1", m, k).many(pts, coeffs_norm_k)
+    return g1_from_device_proj(raw)
+
+
 def commit_ints(srs: SRS, coeffs: list[int]) -> tuple:
     """Host-int convenience commit (small polynomials / tests)."""
     if len(coeffs) >= (1 << 8):
