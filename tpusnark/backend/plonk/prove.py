@@ -382,6 +382,25 @@ def _fold_stage(n_com: int, maxm: int):
     return _stage("fold", (n_com, maxm), build)
 
 
+class _LocalEngine:
+    """Single-chip commit/placement backend (default)."""
+
+    @staticmethod
+    def place(x):
+        return x
+
+    @staticmethod
+    def commit(srs, coeffs_norm):
+        return kzg.commit_dev(srs, coeffs_norm)
+
+    @staticmethod
+    def commit_many(srs, stack_norm):
+        return kzg.commit_many_dev(srs, stack_norm)
+
+
+_LOCAL_ENGINE = _LocalEngine()
+
+
 def prove(
     cs: SparseConstraintSystem,
     pk: PlonkProvingKey,
@@ -389,11 +408,18 @@ def prove(
     rng=None,
     config=None,
     timings: dict | None = None,
+    engine=None,
 ) -> PlonkProof:
     """`timings`: optional per-phase wall-clock dict (solve / lro / z /
     quotient / open — the reference logs the whole-prover scope at
     backend/plonk/bn254/prove.go:175). Adds device barriers; benchmarking
-    only."""
+    only.
+
+    `engine`: commit/placement backend. None = single-chip (kzg device
+    commits); backend.plonk.sharded passes a mesh engine whose commits are
+    ShardedMSMs and whose place() pins the domain-sized arrays to the mesh
+    (the multi-chip path; BASELINE north star "quotient-polynomial and FFT
+    passes partitioned per host")."""
     import time as _time
 
     from ..config import resolve
@@ -408,6 +434,8 @@ def prove(
         return t
 
     pcfg = resolve(config, rng)
+    if engine is None:
+        engine = _LOCAL_ENGINE
     f = _fr
     p = cs.modulus
     n = pk.domain_n
@@ -465,7 +493,7 @@ def prove(
     l_e = [W[g.xa] for g in cs.gates] + [0] * pad
     r_e = [W[g.xb] for g in cs.gates] + [0] * pad
     o_e = [W[g.xc] for g in cs.gates] + [0] * pad
-    lro = f.array(l_e + r_e + o_e).reshape(f.n, 3, n)
+    lro = engine.place(f.array(l_e + r_e + o_e).reshape(f.n, 3, n))
     # blinders drawn in the reference's order: l, r, o (2 each), z (3 below)
     bl_lro = f.array([rand() for _ in range(6)]).reshape(f.n, 3, 2)
     hats, hats_norm = _wires_stage(n)(lro, bl_lro, ntt_n._inv_tables())
@@ -474,7 +502,7 @@ def prove(
     l_hat = Polynomial(hats[:, 0], Basis.CANONICAL, Layout.REGULAR, BN254_FR).data
     r_hat = Polynomial(hats[:, 1], Basis.CANONICAL, Layout.REGULAR, BN254_FR).data
     o_hat = Polynomial(hats[:, 2], Basis.CANONICAL, Layout.REGULAR, BN254_FR).data
-    l_com, r_com, o_com = kzg.commit_many_dev(pk.srs, hats_norm)
+    l_com, r_com, o_com = engine.commit_many(pk.srs, hats_norm)
     t0 = _mark("lro", t0)
 
     # ---- 2. gamma, beta ------------------------------------------------------
@@ -500,7 +528,7 @@ def prove(
         zbl,
         ntt_n._inv_tables(),
     )
-    z_com = kzg.commit_dev(pk.srs, z_norm)
+    z_com = engine.commit(pk.srs, z_norm)
     t0 = _mark("z", t0)
 
     # deriveAlpha binds the Bsb22 commitments FIRST, then Z (prove.go:504-512)
@@ -560,7 +588,7 @@ def prove(
         ntt_4n._inv_tables(),
         csi4,
     )
-    h1_com, h2_com, h3_com = kzg.commit_many_dev(pk.srs, h_norm)
+    h1_com, h2_com, h3_com = engine.commit_many(pk.srs, h_norm)
 
     for c in (h1_com, h2_com, h3_com):
         tr.bind("zeta", g1_bytes(c))
@@ -624,7 +652,7 @@ def prove(
         tab["lin_base"], z_hat, tuple(c_coeffs), wts, f.const(zeta, mont=True)
     )
     lin_zeta = f.to_ints(lin_zeta_limb.reshape(f.n, 1))[0]
-    lin_com = kzg.commit_dev(pk.srs, lin_norm)
+    lin_com = engine.commit(pk.srs, lin_norm)
 
     # folded H digest (host, 2 tiny scalar muls — verifier recomputes it)
     folded_h_com = G1.add(
@@ -658,7 +686,7 @@ def prove(
     )
     # one composite MSM for both opening quotients (q2 padded to match)
     q2p = jnp.pad(q2_norm, ((0, 0), (0, q_norm.shape[1] - q2_norm.shape[1])))
-    batched_h, z_shifted_h = kzg.commit_many_dev(
+    batched_h, z_shifted_h = engine.commit_many(
         pk.srs, jnp.stack([q_norm, q2p], axis=1)
     )
     _mark("open", t0)

@@ -68,8 +68,23 @@ class ShardedMSM:
             )
             return tree_add_batch(ops, allp, n_dev)
 
+        def local_many(points, scalars):
+            # scalars (L, k, N_local) -> per-shard partials (.., k); gather
+            # along a NEW trailing device axis then tree-reduce it
+            part = msm._msm_many_impl(points, scalars)
+            allp = tree_map(
+                lambda a: jnp.moveaxis(
+                    jax.lax.all_gather(a, axis, axis=0, tiled=False), 0, -1
+                ),
+                part,
+            )  # (.., k, n_dev)
+            red = tree_add_batch(ops, allp, n_dev)  # (.., k, 1)
+            return tree_map(lambda a: a[..., 0], red)
+
         self._local = local
+        self._local_many = local_many
         self._fn = None
+        self._fn_many = None
 
     def shard_points(self, points):
         """Materialize a point table in its mesh-sharded layout (do this ONCE
@@ -110,6 +125,31 @@ class ShardedMSM:
                 )
             )
         return self._fn(points, scalars)
+
+    def many(self, points, scalars):
+        """k MSMs over the same sharded points: scalars (L, k, N) normal
+        form -> replicated projective point with batch k (the sharded face
+        of MSM.many; used by the sharded PLONK prover's grouped commits)."""
+        scalars = jax.device_put(
+            scalars, NamedSharding(self.mesh, P(None, None, self.axis))
+        )
+        if self._fn_many is None:
+            ax = self.axis
+            in_pts = tree_map(
+                lambda a: P(*([None] * (a.ndim - 1) + [ax])), points
+            )
+            in_sc = P(None, None, ax)
+            out = tree_map(lambda a: P(), (points[0], points[1], points[0]))
+            self._fn_many = jax.jit(
+                jax.shard_map(
+                    self._local_many,
+                    mesh=self.mesh,
+                    in_specs=(in_pts, in_sc),
+                    out_specs=out,
+                    check_vma=False,
+                )
+            )
+        return self._fn_many(points, scalars)
 
 
 class ShardedNTT:
