@@ -70,9 +70,16 @@ class ProvingKey:
 
             cfg = get_curve(self.curve)
             fp = get_field(cfg.fp_spec)
-            # BW6-761: G2 points have plain Fp coordinates (sextic twist
-            # over Fp) — encode them with the G1 layout
-            enc_g2 = g1_to_device if cfg.g2_over_fp else g2_to_device
+            # BW6: G2 points have plain Fp coordinates (sextic twist over
+            # Fp) — encode them with the G1 layout. BLS24: Fp4 coordinates.
+            if cfg.g2_over_fp:
+                enc_g2 = g1_to_device
+            elif cfg.g2_fp4:
+                from ...curves.encoding import g4_to_device
+
+                enc_g2 = g4_to_device
+            else:
+                enc_g2 = g2_to_device
             self._dev = {
                 "a": g1_to_device(self.a, fp),
                 "b1": g1_to_device(self.b1, fp),

@@ -233,6 +233,12 @@ def prove(
     (bs1_sum,) = g1_from_device_proj(bs1_raw, fp)
     if cfg.g2_over_fp:
         (bs2_sum,) = g1_from_device_proj(bs2_raw, fp)
+    elif cfg.g2_fp4:
+        from ...curves.encoding import g4_from_device_proj
+
+        (bs2_sum,) = g4_from_device_proj(
+            bs2_raw, fp, fp4_cls=cfg.host.Fp4, fp2_cls=cfg.host.Fp2
+        )
     else:
         (bs2_sum,) = g2_from_device_proj(
             bs2_raw, fp, fp2_cls=cfg.host.Fp2, q=cfg.fp2_q

@@ -112,7 +112,10 @@ def _g2_many(scalars: list[int], use_device: bool, curve: str = "bn254"):
 
     cfg = get_curve(curve)
     G2h = cfg.host.G2
-    if not use_device or len(scalars) < _DEVICE_THRESHOLD:
+    if not use_device or len(scalars) < _DEVICE_THRESHOLD or cfg.g2_fp4:
+        # BLS24 (g2_fp4): host ladder — the device fixed-base path has no
+        # Fp4 generator-ladder builder yet (G2 setup size is one point per
+        # wire; acceptable for the supported circuit sizes on these curves)
         return [
             G2h.mul(G2h.generator(), s) if s % cfg.host.R else None for s in scalars
         ]

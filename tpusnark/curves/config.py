@@ -35,10 +35,15 @@ class CurveConfig:
     g2_b3: tuple  # (c0, c1): 3 * b'' of the twist, as Fp2 ints
     # Fp2 = Fp[u]/(u^2 + fp2_q): 1 for BN254/BLS12-381, 5 for BLS12-377
     fp2_q: int = 1
-    # BW6-761: embedding degree 6, G2 is a sextic twist over Fp ITSELF —
-    # G2 arithmetic is then G1-style FpArith with b = g2_b (no Fp2)
+    # BW6-761/BW6-633: embedding degree 6, G2 is a sextic twist over Fp
+    # ITSELF — G2 arithmetic is then G1-style FpArith with b = g2_b (no Fp2)
     g2_over_fp: bool = False
     g2_b: int = 0
+    # BLS24-315/317: G2 over Fp4 = Fp2[v]/(v^2 - Z2), Fp2 = Fp[u]/(u^2 - A2)
+    g2_fp4: bool = False
+    fp4_a2: int = 0
+    fp4_z2: tuple = ()
+    g2_b3_fp4: tuple = ()  # 3*b' nested ((c00,c01),(c10,c11)) ints
 
     @property
     def host(self):
@@ -59,6 +64,18 @@ class CurveConfig:
             from . import bw6761
 
             return bw6761
+        if self.name == "bls24-315":
+            from . import bls24315
+
+            return bls24315
+        if self.name == "bls24-317":
+            from . import bls24317
+
+            return bls24317
+        if self.name == "bw6-633":
+            from . import bw6633
+
+            return bw6633
         raise ValueError(f"unknown curve {self.name}")
 
 
@@ -113,6 +130,50 @@ def get_curve(name: str = "bn254") -> CurveConfig:
             g2_over_fp=True,
             g2_b=4,
         )
+    if name == "bls24-315":
+        from ..fields.spec import BLS24_315_FP, BLS24_315_FR
+        from . import bls24315
+
+        return CurveConfig(
+            name="bls24-315",
+            fr_spec=BLS24_315_FR,
+            fp_spec=BLS24_315_FP,
+            g1_b=1,
+            g2_b3=(),
+            g2_fp4=True,
+            fp4_a2=bls24315.A2,
+            fp4_z2=bls24315.Z2,
+            g2_b3_fp4=bls24315.B3_NEST,
+        )
+    if name == "bls24-317":
+        from ..fields.spec import BLS24_317_FP, BLS24_317_FR
+        from . import bls24317
+
+        return CurveConfig(
+            name="bls24-317",
+            fr_spec=BLS24_317_FR,
+            fp_spec=BLS24_317_FP,
+            g1_b=4,
+            g2_b3=(),
+            g2_fp4=True,
+            fp4_a2=bls24317.A2,
+            fp4_z2=bls24317.Z2,
+            g2_b3_fp4=bls24317.B3_NEST,
+        )
+    if name == "bw6-633":
+        from ..fields.spec import BW6_633_FP, BW6_633_FR
+        from . import bw6633
+
+        return CurveConfig(
+            name="bw6-633",
+            fr_spec=BW6_633_FR,
+            fp_spec=BW6_633_FP,
+            g1_b=bw6633.B1,  # y^2 = x^3 - 7; mul_b3 via mul_const
+            g2_b3=(),
+            g2_over_fp=True,
+            g2_b=bw6633.B2,
+        )
     raise ValueError(
-        f"unknown curve {name} (supported: bn254, bls12-381, bls12-377, bw6-761)"
+        f"unknown curve {name} (supported: bn254, bls12-381, bls12-377, "
+        f"bw6-761, bls24-315, bls24-317, bw6-633)"
     )

@@ -64,6 +64,69 @@ def g2_to_device(points, fp: Field | None = None):
     )
 
 
+def g4_to_device(points, fp: Field):
+    """list[(Fp4,Fp4) | None] -> nested ((c00,c01),(c10,c11)) device arrays.
+
+    Host Fp4 elements are tower.make_ext towers (e.c = (fp2_0, fp2_1),
+    fp2.c = (Fp, Fp) with .v ints) — the BLS24 G2 coordinate field."""
+    import jax.numpy as jnp
+
+    def nest(pt, coord):
+        if pt is None:
+            # identity placeholder (x, y) = (0, 1)
+            return ((0, 0), (0, 0)) if coord == 0 else ((1, 0), (0, 0))
+        e = pt[coord]
+        return tuple(tuple(f.v for f in f2.c) for f2 in e.c)
+
+    cols = {(i, j, k): [] for i in range(2) for j in range(2) for k in range(2)}
+    inf = []
+    for pt in points:
+        inf.append(pt is None)
+        for coord in range(2):
+            n = nest(pt, coord)
+            for j in range(2):
+                for k_ in range(2):
+                    cols[(coord, j, k_)].append(n[j][k_])
+
+    def enc(coord, j, k_):
+        return fp.array(cols[(coord, j, k_)])
+
+    X = ((enc(0, 0, 0), enc(0, 0, 1)), (enc(0, 1, 0), enc(0, 1, 1)))
+    Y = ((enc(1, 0, 0), enc(1, 0, 1)), (enc(1, 1, 0), enc(1, 1, 1)))
+    return (X, Y, jnp.asarray(np.array(inf)))
+
+
+def g4_from_device_proj(pt, fp: Field, fp4_cls, fp2_cls):
+    """Projective Fp4 device point -> list[(Fp4, Fp4) | None] host points."""
+    X, Y, Z = pt
+
+    def decode(e):
+        # e = ((c00,c01),(c10,c11)) limb arrays -> list of Fp4 per batch lane
+        vals = [[fp.to_ints(e[j][k]) for k in range(2)] for j in range(2)]
+        n = len(vals[0][0])
+        out = []
+        for i in range(n):
+            out.append(
+                fp4_cls(
+                    (
+                        fp2_cls((vals[0][0][i], vals[0][1][i])),
+                        fp2_cls((vals[1][0][i], vals[1][1][i])),
+                    )
+                )
+            )
+        return out
+
+    xs, ys, zs = decode(X), decode(Y), decode(Z)
+    out = []
+    for x, y, z in zip(xs, ys, zs):
+        if z.is_zero():
+            out.append(None)
+        else:
+            zi = z.inv()
+            out.append((x * zi, y * zi))
+    return out
+
+
 def g1_from_device_proj(pt, fp: Field | None = None):
     """Projective (X, Y, Z) device point (batch 1 or N) -> list[(x,y)|None]."""
     fp = fp or get_field(BN254_FP)

@@ -95,6 +95,24 @@ class FpArith:
         return self.f.is_zero(x)
 
 
+def _small_mul(f: Field, x, k: int):
+    """k * x for a small host int k via lazy double-and-add (k <= ~16:
+    cheaper than a Montgomery mul, and keeps constants out of the graph)."""
+    assert k >= 0
+    if k == 0:
+        return jnp.zeros_like(x)
+    acc = None
+    addend = x
+    kk = k
+    while kk:
+        if kk & 1:
+            acc = addend if acc is None else f.add(acc, addend)
+        kk >>= 1
+        if kk:
+            addend = f.add(addend, addend)
+    return acc
+
+
 class Fp2Arith:
     """Fp2 = Fp[u]/(u^2 + q); elements are (c0, c1) tuples of Fp limb arrays.
 
@@ -104,19 +122,12 @@ class Fp2Arith:
     def __init__(self, field: Field, b3_fp2: tuple[int, int], q: int = 1):
         self.f = field
         self._b3 = b3_fp2  # (c0, c1) python ints, normal form
-        assert q in (1, 2, 5), "small nonresidue expected"
+        assert 1 <= q <= 16, "small nonresidue expected"
         self.q = q
 
     def _mul_q(self, x):
-        """q * x via lazy adds (q is 1, 2 or 5)."""
-        f = self.f
-        if self.q == 1:
-            return x
-        x2 = f.add(x, x)
-        if self.q == 2:
-            return x2
-        x4 = f.add(x2, x2)
-        return f.add(x4, x)
+        """q * x via a lazy double-and-add chain (q small, e.g. 1/2/5/13)."""
+        return _small_mul(self.f, x, self.q)
 
     def add(self, a, b):
         return (self.f.add(a[0], b[0]), self.f.add(a[1], b[1]))
@@ -199,6 +210,121 @@ class Fp2Arith:
 
     def is_zero(self, x):
         return self.f.is_zero(x[0]) & self.f.is_zero(x[1])
+
+
+class Fp4Arith:
+    """Fp4 = Fp2[v]/(v^2 - Z2); elements are (c0, c1) tuples of Fp2 elements
+    (each itself a (a, b) tuple of Fp limb arrays).
+
+    The G2 coordinate field of the BLS24 curves (reference
+    backend/groth16/bls24-315/prove.go MSMs run over gnark-crypto's
+    e2+e4 towers). u^2 = a2 (a2 a small negative int, e.g. -13 for
+    BLS24-315); Z2 = (z0, z1) a small Fp2 element (e.g. u, or 1+u).
+    Multiplication is Karatsuba over Fp2.mul_many, so one Fp4 mul is three
+    Fp2 muls is nine stacked Fp muls — all fused into wide kernels."""
+
+    def __init__(
+        self,
+        field: Field,
+        b3_fp4: tuple,
+        a2: int,
+        z2: tuple[int, int],
+    ):
+        # Fp2Arith implements u^2 = -q, so q = -a2 (a2 < 0 for our curves)
+        assert a2 < 0, "u^2 = a2 with a2 < 0 expected"
+        self.f2 = Fp2Arith(field, (0, 0), q=-a2)
+        self.f = field
+        self.z2 = z2
+        # 3*b' of the twist as ((c00,c01),(c10,c11)) python ints, normal form
+        self._b3 = b3_fp4
+
+    def _mul_z2(self, x):
+        """x * Z2 over Fp2 for the small constant Z2 = z0 + z1 u."""
+        f, (z0, z1) = self.f, self.z2
+        c0, c1 = x
+        q = self.f2.q  # u^2 = -q
+        # (c0 + c1 u)(z0 + z1 u) = (z0 c0 - q z1 c1) + (z0 c1 + z1 c0) u
+        r0s = []
+        r1s = []
+        if z0:
+            r0s.append(_small_mul(f, c0, z0))
+            r1s.append(_small_mul(f, c1, z0))
+        if z1:
+            r0s.append(f.neg(_small_mul(f, c1, q * z1)))
+            r1s.append(_small_mul(f, c0, z1))
+        r0 = r0s[0] if len(r0s) == 1 else f.add(*r0s)
+        r1 = r1s[0] if len(r1s) == 1 else f.add(*r1s)
+        return (r0, r1)
+
+    def add(self, a, b):
+        return (self.f2.add(a[0], b[0]), self.f2.add(a[1], b[1]))
+
+    def sub(self, a, b):
+        return (self.f2.sub(a[0], b[0]), self.f2.sub(a[1], b[1]))
+
+    def neg(self, a):
+        return (self.f2.neg(a[0]), self.f2.neg(a[1]))
+
+    def mul(self, a, b):
+        return self.mul_many([(a, b)])[0]
+
+    def mul_many(self, pairs):
+        """Karatsuba: k Fp4 muls -> 3k Fp2 muls in one Fp2.mul_many call."""
+        f2 = self.f2
+        k = len(pairs)
+        jobs = []
+        for a, b in pairs:
+            a0, a1 = a
+            b0, b1 = b
+            jobs.append((a0, b0))
+            jobs.append((a1, b1))
+            jobs.append((f2.add(a0, a1), f2.add(b0, b1)))
+        T = f2.mul_many(jobs)
+        out = []
+        for i in range(k):
+            t0, t1, t2 = T[3 * i], T[3 * i + 1], T[3 * i + 2]
+            c0 = f2.add(t0, self._mul_z2(t1))
+            c1 = f2.sub(t2, f2.add(t0, t1))
+            out.append((c0, c1))
+        return out
+
+    def add_many(self, pairs):
+        return [self.add(a, b) for a, b in pairs]
+
+    def sub_many(self, pairs):
+        return [self.sub(a, b) for a, b in pairs]
+
+    def mul_b3(self, x):
+        return self.mul_b3_many([x])[0]
+
+    def mul_b3_many(self, xs):
+        f = self.f
+        b3 = tuple(
+            tuple(f.const(c, mont=True) for c in pair) for pair in self._b3
+        )
+        consts = [
+            tuple(
+                tuple(f.broadcast_const(c, x[0][0]) for c in pair)
+                for pair in b3
+            )
+            for x in xs
+        ]
+        return self.mul_many(list(zip(xs, consts)))
+
+    def select(self, cond, a, b):
+        f2 = self.f2
+        return (f2.select(cond, a[0], b[0]), f2.select(cond, a[1], b[1]))
+
+    def zero_like(self, x):
+        f2 = self.f2
+        return (f2.zero_like(x[0]), f2.zero_like(x[1]))
+
+    def one_like(self, x):
+        f2 = self.f2
+        return (f2.one_like(x[0]), f2.zero_like(x[1]))
+
+    def is_zero(self, x):
+        return self.f2.is_zero(x[0]) & self.f2.is_zero(x[1])
 
 
 class CurveOps:
@@ -376,3 +502,16 @@ def g2_ops_fused(
     field_fp: Field, b3: tuple[int, int] | None = None, q: int = 1
 ) -> CurveOps:
     return FusedCurveOps(Fp2Arith(field_fp, b3 or _g2_b3(field_fp), q=q))
+
+
+def g2_ops_fp4(
+    field_fp: Field, b3_fp4: tuple, a2: int, z2: tuple[int, int]
+) -> CurveOps:
+    """BLS24 G2 ops over Fp4 (see Fp4Arith)."""
+    return CurveOps(Fp4Arith(field_fp, b3_fp4, a2, z2))
+
+
+def g2_ops_fp4_fused(
+    field_fp: Field, b3_fp4: tuple, a2: int, z2: tuple[int, int]
+) -> CurveOps:
+    return FusedCurveOps(Fp4Arith(field_fp, b3_fp4, a2, z2))

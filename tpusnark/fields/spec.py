@@ -154,6 +154,25 @@ BLS12_377_FP = FieldSpec("bls12_377_fp", BLS12_377_FP_MOD, 24)
 BW6_761_FR = FieldSpec("bw6_761_fr", BLS12_377_FP_MOD, 24)  # = BLS12-377 Fp
 BW6_761_FP = FieldSpec("bw6_761_fp", BW6_761_FP_MOD, 48)
 
+# BLS24-315 / BLS24-317 (G2 over Fp4, GT in Fp24) and BW6-633 (outer curve
+# of the BLS24-315 2-chain: its fr IS BLS24-315's fp) — the remaining three
+# of the reference's seven curves (backend/backend.go:28-33). Moduli derived
+# from the seeds in curves/bls24*.py / bw6633.py; BLS24-315's cross-checked
+# against the reference's emparams.go:262-283.
+BLS24_315_FR_MOD = 0x196DEAC24A9DA12B25FC7EC9CF927A98C8C480ECE644E36419D0C5FD00C00001
+BLS24_315_FP_MOD = 0x4C23A02B586D650D3F7498BE97C5EAFDEC1D01AA27A1AE0421EE5DA52BDE5026FE802FF40300001
+BLS24_317_FR_MOD = 0x443F917EA68DAFC2D0B097F28D83CD491CD1E79196BF0E7AF000000000000001
+BLS24_317_FP_MOD = 0x1058CA226F60892CF28FC5A0B7F9D039169A61E684C73446D6F339E43424BF7E8D512E565DAB2AAB
+BW6_633_FP_MOD = 0x126633CC0F35F63FC1A174F01D72AB5A8FCD8C75D79D2C74E59769AD9BBDA2F8152A6C0FADEA490B8DA9F5E83F57C497E0E8850EDBDA407D7B5CE7AB839C2253D369BD31147F73CD74916EA4570000D
+
+BLS24_315_FR = FieldSpec("bls24_315_fr", BLS24_315_FR_MOD, 16)
+BLS24_315_FP = FieldSpec("bls24_315_fp", BLS24_315_FP_MOD, 20)
+# 255-bit r: 17 limbs so 4p < R holds (same reasoning as BLS12-381 fr)
+BLS24_317_FR = FieldSpec("bls24_317_fr", BLS24_317_FR_MOD, 17)
+BLS24_317_FP = FieldSpec("bls24_317_fp", BLS24_317_FP_MOD, 20)
+BW6_633_FR = FieldSpec("bw6_633_fr", BLS24_315_FP_MOD, 20)  # = BLS24-315 fp
+BW6_633_FP = FieldSpec("bw6_633_fp", BW6_633_FP_MOD, 40)
+
 # Tiny field for exhaustive kernel tests — the analog of gnark's generated
 # tinyfield (modulus 0x2f) at /root/reference/internal/tinyfield/
 # (generated by internal/generator/backend/main.go:66-79).

@@ -55,6 +55,46 @@ def _keccak_f(a: list[list[int]]):
         a[0][0] ^= rc
 
 
+def sponge(data: bytes, rate: int, dsbyte: int, out_len: int) -> bytes:
+    """Generic Keccak sponge (host oracle): rate in bytes, domain byte
+    (0x01 legacy Keccak, 0x06 SHA3), out_len bytes (single squeeze block
+    suffices for all the SHA3/Keccak variants: out_len <= rate)."""
+    pad_len = rate - (len(data) % rate)
+    if pad_len == 1:
+        padded = data + bytes([dsbyte | 0x80])
+    else:
+        padded = data + bytes([dsbyte]) + b"\x00" * (pad_len - 2) + b"\x80"
+    a = [[0] * 5 for _ in range(5)]
+    for off in range(0, len(padded), rate):
+        block = padded[off : off + rate]
+        for i in range(rate // 8):
+            lane = int.from_bytes(block[8 * i : 8 * i + 8], "little")
+            x, y = i % 5, i // 5
+            a[x][y] ^= lane
+        _keccak_f(a)
+    out = b""
+    for i in range(-(-out_len // 8)):
+        x, y = i % 5, i // 5
+        out += a[x][y].to_bytes(8, "little")
+    return out[:out_len]
+
+
+def sha3_256(data: bytes) -> bytes:
+    return sponge(data, 136, 0x06, 32)
+
+
+def sha3_384(data: bytes) -> bytes:
+    return sponge(data, 104, 0x06, 48)
+
+
+def sha3_512(data: bytes) -> bytes:
+    return sponge(data, 72, 0x06, 64)
+
+
+def keccak512(data: bytes) -> bytes:
+    return sponge(data, 72, 0x01, 64)
+
+
 def keccak256(data: bytes) -> bytes:
     rate = 136  # bytes, for 256-bit output
     # legacy multi-rate padding: 0x01 ... 0x80

@@ -58,19 +58,27 @@ def get_msm(curve: str = "g1", c: int = 13, curve_name: str = "bn254") -> "MSM":
     if curve == "g1":
         ops = g1_ops_fused(fp, b=cfg.g1_b)
     elif cfg.g2_over_fp:
-        # BW6-761: G2 is a sextic twist over Fp itself -> G1-style kernels
+        # BW6: G2 is a sextic twist over Fp itself -> G1-style kernels
         ops = g1_ops_fused(fp, b=cfg.g2_b)
+    elif cfg.g2_fp4:
+        # BLS24: G2 over Fp4 (tower kernels, see jcurve.Fp4Arith)
+        from ..curves.jcurve import g2_ops_fp4_fused
+
+        ops = g2_ops_fp4_fused(
+            fp, cfg.g2_b3_fp4, a2=cfg.fp4_a2, z2=cfg.fp4_z2
+        )
     else:
         ops = g2_ops_fused(fp, b3=cfg.g2_b3, q=cfg.fp2_q)
     return MSM(ops, fr, c=c)
 
 
 def auto_c(n_points: int) -> int:
-    """Pippenger window size for n points: ~log2(n), clamped. The bucket
-    scans cost O(2^c) lanes x c rounds per window, so oversizing c for small
-    n wastes orders of magnitude of work (gnark-crypto picks c from n the
-    same way in MultiExpConfig)."""
-    return max(2, min(13, max(1, n_points).bit_length() - 1))
+    """Pippenger window size for n points: ~log2(n)+1, clamped to 16 (the
+    limb width). Signed digits halve the bucket count at a given c, so the
+    sweet spot sits one window-bit above the unsigned heuristic; at large n
+    c=16 cuts BN254 from 20 windows (c=13) to 16 (gnark-crypto picks c from
+    n the same way in MultiExpConfig)."""
+    return max(2, min(16, max(1, n_points).bit_length()))
 
 
 def get_msm_for(curve: str, n_points: int, curve_name: str = "bn254") -> "MSM":
@@ -80,21 +88,25 @@ def get_msm_for(curve: str, n_points: int, curve_name: str = "bn254") -> "MSM":
 
 def auto_c_many(n_points: int, k: int, scalar_bits: int = 254) -> int:
     """Window size for a k-polynomial composite MSM: minimize the modeled
-    per-MSM cost W(c) * [strip adds + compaction log-scan over kB + C slots
-    + weighting ~2kB], which pushes c DOWN as k grows (the compaction and
-    weighting phases scale with k * 2^c while the strip adds don't)."""
+    per-MSM cost W(c) * [strip mixed adds + the flush-record reduction],
+    which pushes c DOWN as k grows (the reduction phases scale with
+    k * 2^(c-1) while the strip adds don't). Buckets are SIGNED-digit:
+    2^(c-1) live buckets per window."""
     M0 = k * max(1, n_points)
     best_c, best_cost = 2, float("inf")
     for c in range(4, 17):
-        W = -(-scalar_bits // c)
-        B = 1 << c
+        W = -(-(scalar_bits + 1) // c)
+        B = 1 << (c - 1)
         C = min(1 << 13, 1 << max(3, (M0 - 1).bit_length() - 6))
         K = k * B + C
-        cost = W * (
-            M0 * 12.5  # strip mixed adds
-            + K * max(1, (K - 1).bit_length()) * 14  # compaction log-scan
-            + 2 * k * B * 14  # bucket weighting
-        )
+        if M0 >= MSM.STRIP_THRESHOLD and c - 1 > 8:
+            # hierarchical reduce: two strip passes + tiny scans over K
+            reduce_cost = K * 2 * 14 + 2 * k * 512 * 14
+        else:
+            # flat log-scan into k*B buckets + radix weighting
+            m = max(M0, K)
+            reduce_cost = m * max(1, (m - 1).bit_length()) * 14 + 2 * k * B * 14
+        cost = W * (M0 * 12.5 + reduce_cost)
         if cost < best_cost:
             best_c, best_cost = c, cost
     return best_c
@@ -114,23 +126,50 @@ def window_digits(scalars, n_limbs: int, c: int, n_windows: int):
     for w in range(n_windows):
         bit0 = w * c
         k, r = bit0 // 16, bit0 % 16
-        d = scalars[k] >> jnp.uint32(r)
+        d = scalars[k] >> jnp.uint32(r) if k < n_limbs else jnp.zeros_like(scalars[0])
         if r + c > 16 and k + 1 < n_limbs:
             d = d | (scalars[k + 1] << jnp.uint32(16 - r))
         out.append(d & jnp.uint32((1 << c) - 1))
     return jnp.stack(out, axis=0)
 
 
+def window_digits_signed(scalars, n_limbs: int, c: int, n_windows: int):
+    """Signed-digit recoding: raw c-bit digits d are mapped to
+    d' in (-2^(c-1), 2^(c-1)] with a carry into the next window whenever
+    d + carry > 2^(c-1) — halving the live bucket count (gnark-crypto's
+    MultiExp applies the same recoding, reference Pippenger at
+    /root/reference/backend/groth16/bn254/prove.go:201-290).
+
+    Returns (mags, signs): (n_windows, N) magnitudes in [0, 2^(c-1)] and
+    bool sign rows (True = subtract the point). Requires the scalar value
+    < 2^(c*n_windows - 1) so the final carry cannot escape — callers pass
+    field elements reduced mod r with n_windows = ceil((bits(r)+1)/c)."""
+    raw = window_digits(scalars, n_limbs, c, n_windows)
+    half = jnp.uint32(1 << (c - 1))
+    full = jnp.uint32(1 << c)
+
+    def step(carry, d):
+        dp = d + carry
+        neg = dp > half
+        mag = jnp.where(neg, full - dp, dp)
+        return neg.astype(jnp.uint32), (mag, neg)
+
+    _, (mags, signs) = jax.lax.scan(step, jnp.zeros_like(raw[0]), raw)
+    return mags, signs
+
+
 class MSM:
     """MSM engine bound to (CurveOps, scalar Field). Works for G1 and G2."""
+
+    STRIP_THRESHOLD = 1 << 15
 
     def __init__(
         self,
         ops: CurveOps,
         fr: Field,
-        c: int = 13,
+        c: int = 16,
         strips: int = 1 << 13,
-        strip_threshold: int = 1 << 15,
+        strip_threshold: int = STRIP_THRESHOLD,
         window_batch: int = 5,
     ):
         self.ops = ops
@@ -140,7 +179,9 @@ class MSM:
         self.strip_threshold = strip_threshold
         self.window_batch = window_batch
         self.scalar_bits = fr.spec.modulus.bit_length()
-        self.n_windows = -(-self.scalar_bits // c)
+        # signed digits need one headroom bit for the final recoding carry
+        self.n_windows = -(-(self.scalar_bits + 1) // c)
+        self.nbuckets = 1 << (c - 1)  # live buckets per poly (signed)
         self._msm_j = jax.jit(self._msm_impl)
         self._many_j = jax.jit(self._msm_many_impl)
 
@@ -148,9 +189,9 @@ class MSM:
         """Montgomery-mul-equivalents per point of the CURRENT algorithm
         structure (for the measured roofline in bench.py): one complete
         mixed add per point per window (~12.5 mul-eq: 11 muls + b3 chains +
-        lazy add/subs at ~0.1 mul each) plus ~25% for the compaction
-        log-scan and bucket weighting."""
-        return self.n_windows * 1.25 * 12.5
+        lazy add/subs at ~0.1 mul each) plus ~10% for the hierarchical
+        flush-record reduction and bucket weighting."""
+        return self.n_windows * 1.10 * 12.5
 
     def __call__(self, points_affine, scalars_norm):
         """points: (X, Y, inf) with coords (L, N) (X/Y possibly (c0,c1) tuples
@@ -232,80 +273,91 @@ class MSM:
 
         scalars: (L, k, N0). Returns a projective point with batch dim k.
 
-        k > 1 uses COMPOSITE bucket keys (poly_id * B + digit): all k MSMs
-        share one sort, one gather, one strip scan and one compaction per
-        window, so k same-size MSMs cost barely more than one at small N —
-        the PLONK prover's ~10 same-SRS KZG commits were each paying the
-        full per-window launch overhead (reference counterpart: the 11
+        Signed-digit windows: magnitudes in [0, 2^(c-1)] with per-record
+        signs applied by negating Y at gather time, so the live bucket
+        count is B' = 2^(c-1) and c=16 covers BN254 in 16 windows.
+
+        k > 1 uses COMPOSITE bucket keys (poly_id * B' + mag - 1): all k
+        MSMs share one sort, one gather, one strip scan and one reduction
+        per window, so k same-size MSMs cost barely more than one at small
+        N — the PLONK prover's ~10 same-SRS KZG commits were each paying
+        the full per-window launch overhead (reference counterpart: the 11
         goroutine-parallel commits in backend/plonk/bn254/prove.go:139-169)."""
         k = scalars.shape[1]
         if points_affine[2].shape[-1] <= self.ladder_threshold:
             return self._ladder_many_impl(points_affine, scalars)
         ops, c = self.ops, self.c
-        B = 1 << c
-        BK = k * B
+        Bp = 1 << (c - 1)  # live buckets per poly (signed digits)
+        BK = k * Bp
         X, Y, inf = points_affine
         N0 = inf.shape[-1]
         M0 = k * N0
 
         # strip layout: C lanes of R sequential rows over the M0 = k*N0
-        # flattened records; pad M0 to C*R with key-0 records (the ignored
-        # weight-0 bucket of poly 0)
+        # flattened records; pad M0 to C*R with DEAD-key records
         use_strips = M0 >= self.strip_threshold
         if use_strips:
-            # R >= 64 rows per strip: the compaction log-scan costs
-            # O((kB + C) log(kB + C)) adds per window, so keep C small
-            # relative to M0 (M0/64) while bounded by self.strips
             C = min(self.strips, 1 << max(3, (M0 - 1).bit_length() - 6))
             R = -(-M0 // C)
             M = C * R
         else:
             M = M0
 
-        digits = window_digits(
+        mags, signs = window_digits_signed(
             scalars.reshape(self.fr.n, M0), self.fr.n, c, self.n_windows
         )
-        # composite keys: poly_id * B + digit; infinity inputs land in their
-        # poly's (ignored, weight-0) 0 bucket
+        # composite keys: poly_id * B' + (mag - 1); zero digits and
+        # infinity inputs land in the shared DEAD key (sorted after all
+        # live records, dropped by every scatter)
         inf_flat = jnp.tile(inf, k) if k > 1 else inf
         poly_off = (
-            (jnp.arange(M0, dtype=jnp.uint32) // jnp.uint32(N0)) * jnp.uint32(B)
+            (jnp.arange(M0, dtype=jnp.uint32) // jnp.uint32(N0)) * jnp.uint32(Bp)
             if k > 1
             else jnp.uint32(0)
         )
-        digits = jnp.where(inf_flat[None, :], jnp.uint32(0), digits) + poly_off
+        DEAD = jnp.uint32(BK)
+        live = (mags > 0) & ~inf_flat[None, :]
+        digits = jnp.where(live, (mags - 1) + poly_off, DEAD)
         if M != M0:
-            digits = jnp.pad(digits, ((0, 0), (0, M - M0)))
+            digits = jnp.pad(digits, ((0, 0), (0, M - M0)), constant_values=BK)
+            signs = jnp.pad(signs, ((0, 0), (0, M - M0)))
 
-        # ---- packed point image for the per-window permutation ----------
-        # The sorted-order point gather dominated the MSM (61 ms/window at
-        # 2^20 on v5e): TPU random gathers run at ~2-3 GB/s regardless of
-        # axis, so the fix is to SHRINK THE GATHERED BYTES. Limbs are 16-bit
-        # values stored in u32 lanes — half the gathered bits were zeros.
-        # Pack limb pairs into full u32 rows ((N0, L_total/2), 64 B/point
-        # for G1) once per MSM; each window row-gathers the packed image
-        # (29.6 ms measured at 2^20) and unpacks with cheap wide shifts.
-        # Record j's point is j mod N0 (records are poly-major).
+        # ---- packed point image, permuted by CO-SORT --------------------
+        # Limbs are 16-bit values in u32 lanes — half the moved bits would
+        # be zeros — so pack limb pairs into full u32 ROWS of a
+        # (L_total/2, M) image once per MSM, and permute points into
+        # sorted-by-digit order by passing the rows as PAYLOAD operands of
+        # ONE variadic lax.sort per window. Measured on v5e at 2^20: the
+        # co-sort moves key+sign+16 payload rows in ~8.5 ms/window, vs
+        # ~25 ms for argsort followed by a minor-axis gather (TPU random
+        # gathers run at ~2.8 GB/s regardless of layout; the sort network
+        # moves payload ~3x faster) — and it subsumes the separate key and
+        # sign gathers (~16 ms/window) the gather formulation needed.
+        # Infinity inputs need no mask here: they carry the DEAD key, so
+        # whatever their (0, 1) placeholder coordinates accumulate lands in
+        # the dropped DEAD segment.
         if use_strips:
             xy_leaves, xy_tree = jax.tree_util.tree_flatten((X, Y))
             leaf_rows = [l.shape[0] for l in xy_leaves]
             allc = jnp.concatenate(xy_leaves, axis=0)  # (Ltot, N0)
-            packed = (allc[0::2] | (allc[1::2] << jnp.uint32(16))).T
+            packed = allc[0::2] | (allc[1::2] << jnp.uint32(16))
             Ltot = allc.shape[0]
+            if k > 1:
+                packed = jnp.tile(packed, (1, k))
+            if M != M0:
+                packed = jnp.pad(packed, ((0, 0), (0, M - M0)))
+            packed_rows = tuple(packed[i] for i in range(packed.shape[0]))
 
-            def gather_points(order):
-                pidx = order % N0 if (k > 1 or M != M0) else order
-                g = packed[pidx]  # (M, Ltot//2) contiguous-row gather
-                gt = g.T
-                lo = gt & jnp.uint32(0xFFFF)
-                hi = gt >> jnp.uint32(16)
+            def unpack_rows(sorted_rows):
+                g = jnp.stack(sorted_rows, axis=0)  # (Ltot//2, M)
+                lo = g & jnp.uint32(0xFFFF)
+                hi = g >> jnp.uint32(16)
                 full = jnp.stack([lo, hi], axis=1).reshape(Ltot, M)
                 leaves2, ofs = [], 0
                 for r in leaf_rows:
                     leaves2.append(full[ofs : ofs + r])
                     ofs += r
-                Xg, Yg = jax.tree_util.tree_unflatten(xy_tree, leaves2)
-                return (Xg, Yg, inf[pidx])
+                return jax.tree_util.tree_unflatten(xy_tree, leaves2)
         else:
             # flat (tiled) affine image for the direct log-scan path
             if k > 1:
@@ -315,8 +367,6 @@ class MSM:
                 aff0 = (aff0[0], aff0[1], aff0[2])
             else:
                 aff0 = (X, Y, inf)
-
-        SENT = jnp.uint32(BK)  # sorts after every real bucket key
 
         def fold_sum(vals, m: int):
             """Sum m points along the trailing axis: shape-preserving
@@ -338,9 +388,10 @@ class MSM:
             vals, _ = jax.lax.fori_loop(0, rounds, body, (vals, jnp.int32(m)))
             return tree_map(lambda a: a[..., :1], vals)
 
-        def log_scan_buckets(skey, pts, m):
+        def log_scan_buckets(skey, pts, m, nbuckets, sent):
             """Segmented Hillis-Steele scan over m sorted records + scatter
-            of the segment-end sums into the kB+1 bucket slots."""
+            of the segment-end sums into nbuckets slots (keys >= nbuckets
+            — DEAD, pad, sentinel — land in the dropped overflow slots)."""
             iota_m = jnp.arange(m, dtype=jnp.int32)
             rounds = max((m - 1).bit_length(), 0)
 
@@ -353,59 +404,89 @@ class MSM:
 
             pts = jax.lax.fori_loop(0, rounds, seg_round, pts)
             is_end = jnp.concatenate([skey[:-1] != skey[1:], jnp.array([True])])
-            sidx = jnp.where(is_end, skey, SENT).astype(jnp.int32)
+            sidx = jnp.where(is_end, skey, jnp.uint32(sent)).astype(jnp.int32)
+            sidx = jnp.minimum(sidx, jnp.int32(nbuckets + 1))
             x_templ = tree_map(
-                lambda a: jnp.zeros(a.shape[:-1] + (BK + 1,), a.dtype), pts[0]
+                lambda a: jnp.zeros(a.shape[:-1] + (nbuckets + 2,), a.dtype),
+                pts[0],
             )
             ident_base = ops.identity_like(x_templ)
             return tree_map(
-                lambda ini, a: ini.at[..., sidx].set(a)[..., :BK], ident_base, pts
+                lambda ini, a: ini.at[..., sidx].set(a)[..., :nbuckets],
+                ident_base,
+                pts,
             )
 
-        def strip_buckets(skey, aff):
-            """O(N)-adds accumulation: strips of R sequential rows, one
-            C-wide mixed add per row, flush records at key boundaries,
-            compact by an integer sort, reduce the <= B + C survivors with
-            the log-scan. `aff` is the gathered AFFINE (X, Y, inf) triple —
-            mixed adds save a coordinate gather and a field mul per add."""
-            keys2 = skey.reshape(C, R)
-            aff2 = tree_map(lambda a: a.reshape(a.shape[:-1] + (C, R)), aff)
+        def strip_flush(skey, pts, Cs, Rs, sent, mixed):
+            """Strip accumulation pass: Cs strips of Rs sequential rows, one
+            Cs-wide add per row, flush records at key boundaries. Returns
+            ((R+1)*C,) flush keys + projective flush points (trailing batch
+            axis), garbage rows keyed `sent`. `mixed`: pts is the gathered
+            AFFINE (X, Y, inf) triple (mixed adds save a coordinate gather
+            and a field mul per add); else projective records (full adds)."""
+            keys2 = skey.reshape(Cs, Rs)
+            pts2 = tree_map(lambda a: a.reshape(a.shape[:-1] + (Cs, Rs)), pts)
             xs = (
                 jnp.moveaxis(keys2, -1, 0),  # (R, C)
-                tree_map(lambda a: jnp.moveaxis(a, -1, 0), aff2),  # (R, ..., C)
+                tree_map(lambda a: jnp.moveaxis(a, -1, 0), pts2),  # (R, .., C)
             )
-            ident_c = ops.identity_like(tree_map(lambda a: a[..., 0], aff2[0]))
+            ident_c = ops.identity_like(
+                tree_map(
+                    lambda a: a.reshape(a.shape[:-1] + (Cs, Rs))[..., 0], pts[0]
+                )
+            )
+            sentv = jnp.uint32(sent)
 
             def step(carry, x):
                 acc, acc_key = carry
-                k, pt = x
-                same = k == acc_key
-                new_acc = ops.select(
-                    same, ops.add_mixed(acc, pt), ops.from_affine(pt)
-                )
-                fkey = jnp.where(same, SENT, acc_key)
-                return (new_acc, k), (fkey, acc)
+                kk, pt = x
+                same = kk == acc_key
+                if mixed:
+                    new_acc = ops.select(
+                        same, ops.add_mixed(acc, pt), ops.from_affine(pt)
+                    )
+                else:
+                    new_acc = ops.select(same, ops.add(acc, pt), pt)
+                fkey = jnp.where(same, sentv, acc_key)
+                return (new_acc, kk), (fkey, acc)
 
             (acc, acc_key), (fkeys, fpts) = jax.lax.scan(
-                step, (ident_c, jnp.full((C,), SENT, dtype=skey.dtype)), xs
+                step, (ident_c, jnp.full((Cs,), sentv, dtype=skey.dtype)), xs
             )
             # append the final per-strip flush
             fkeys = jnp.concatenate([fkeys, acc_key[None]], axis=0)  # (R+1, C)
             fpts = tree_map(
-                lambda ys, fin: jnp.concatenate([ys, fin[None]], axis=0), fpts, acc
+                lambda ys, fin: jnp.concatenate([ys, fin[None]], axis=0),
+                fpts,
+                acc,
             )
-            Mrec = (R + 1) * C
+            Mrec = (Rs + 1) * Cs
             fkeys = fkeys.reshape(Mrec)
-            # records back to trailing batch axis: (R+1, ..., C) -> (..., Mrec)
+            # records back to trailing batch axis: (R+1, .., C) -> (.., Mrec)
             fpts = tree_map(
                 lambda a: jnp.moveaxis(a, 0, -2).reshape(a.shape[1:-1] + (Mrec,)),
                 fpts,
             )
-            K = min(Mrec, BK + C)
-            ridx = jnp.argsort(fkeys)[:K]
+            return fkeys, fpts
+
+        def strip_reduce(skey, pts, m, nbuckets, sent):
+            """Sorted projective records -> nbuckets bucket sums via one
+            strip pass + a small log-scan over the <= nbuckets + C2
+            survivors (the flat log-scan over m records costs O(m log m)
+            full adds; this is O(m + nbuckets log nbuckets))."""
+            C2 = max(128, min(1024, 1 << max(0, (m - 1).bit_length() - 5)))
+            R2 = -(-m // C2)
+            M2 = C2 * R2
+            if M2 != m:
+                skey = jnp.pad(skey, (0, M2 - m), constant_values=sent)
+                pad = [(0, 0)] * (pts[0].ndim - 1) + [(0, M2 - m)]
+                pts = tree_map(lambda a: jnp.pad(a, pad), pts)
+            fkeys, fpts = strip_flush(skey, pts, C2, R2, sent, mixed=False)
+            K2 = min((R2 + 1) * C2, nbuckets + C2)
+            ridx = jnp.argsort(fkeys)[:K2]
             skey2 = fkeys[ridx]
-            pts3 = tree_map(lambda a: a[..., ridx], fpts)
-            return log_scan_buckets(skey2, pts3, K)
+            pts2 = tree_map(lambda a: a[..., ridx], fpts)
+            return log_scan_buckets(skey2, pts2, K2, nbuckets, sent)
 
         def small_weighted(vals, m):
             """sum_b b * vals[b] over a SMALL m: suffix scan (all suffixes)
@@ -425,12 +506,13 @@ class MSM:
             vals = ops.select(mask, vals, ident)
             return fold_sum(vals, m)
 
-        # weighted bucket sum via radix split b = Bl*hi + lo:
-        #   sum_b b*S_b = Bl * sum_hi hi*rowsum[hi] + sum_lo lo*colsum[lo]
-        # cost ~2B tree adds + two tiny weighted sums, vs 15B for the
-        # full suffix-scan formulation (bucket 0 drops out by weight).
-        Bl = 1 << (c // 2)
-        Bh = B // Bl
+        # weighted bucket sum over 0-based keys m holding S_m with weight
+        # (m + 1): radix split m = Bl*hi + lo gives
+        #   sum_m (m+1)*S_m = Bl*sum_hi hi*rowsum[hi] + sum_lo lo*colsum[lo]
+        #                     + sum_m S_m
+        # cost ~2B' tree adds + two tiny weighted sums + one tiny fold.
+        Bl = 1 << ((c - 1) // 2)
+        Bh = Bp // Bl
 
         def weighted_buckets(buckets):
             S = tree_map(lambda a: a.reshape(a.shape[:-1] + (Bh, Bl)), buckets)
@@ -441,24 +523,109 @@ class MSM:
             cols = tree_map(lambda a: a[..., 0], cols)  # (..., Bl)
             w_hi = small_weighted(rows, Bh)  # (..., 1)
             w_lo = small_weighted(cols, Bl)
+            total = fold_sum(rows, Bh)  # sum of ALL buckets (the +1 term)
             # w_hi *= Bl (log2(Bl) doublings, one double in the graph)
             w_hi = jax.lax.fori_loop(
-                0, Bl.bit_length() - 1, lambda i, a: ops.double(a), w_hi
+                0, max(Bl.bit_length() - 1, 0), lambda i, a: ops.double(a), w_hi
             )
-            return ops.add(w_hi, w_lo)
+            return ops.add(ops.add(w_hi, w_lo), total)
 
-        def per_window(key):
-            order = jnp.argsort(key)
-            skey = key[order]
+        def weighted_from_records(fkeys, fpts):
+            """Flush records -> per-poly weighted sums WITHOUT materializing
+            the k*B' bucket array: weight m+1 = 256*u + (v+1) with
+            m = 256u + v, so two small bucket spaces (k*(B'/256) hi slots,
+            k*256 lo slots) each reachable by a cheap strip pass + scan.
+            The flat alternative (log-scan over kB'+C records into kB'
+            buckets) costs O(kB' log kB') full adds per window — at c=16
+            that's 3x the strip phase itself."""
+            nh = Bp >> 8  # hi slots per poly
+            Mrec = fkeys.shape[0]
+            K = min(Mrec, BK + C)
+            ridx = jnp.argsort(fkeys)[:K]
+            skey = fkeys[ridx]
+            pts = tree_map(lambda a: a[..., ridx], fpts)
+            # --- hi part: records sorted by key are sorted by key>>8 -----
+            # live key = poly*B' + m -> key>>8 = poly*nh + (m>>8); DEAD/SENT
+            # shift into the dropped overflow slots.
+            hkey = skey >> jnp.uint32(8)
+            S_hi = strip_reduce(hkey, pts, K, k * nh, k * nh + 1)
+            S_hi = tree_map(lambda a: a.reshape(a.shape[:-1] + (k, nh)), S_hi)
+            w_hi = small_weighted(S_hi, nh)  # (.., k, 1): sum u*S
+            # --- lo part: re-sort by poly*256 + (m & 255) ----------------
+            is_live = skey < jnp.uint32(BK)
+            poly = skey >> jnp.uint32(c - 1)  # B' = 2^(c-1)
+            lkey = jnp.where(
+                is_live,
+                poly * jnp.uint32(256) + (skey & jnp.uint32(255)),
+                jnp.uint32(k * 256),
+            )
+            lidx = jnp.argsort(lkey)
+            lkey2 = lkey[lidx]
+            pts_l = tree_map(lambda a: a[..., lidx], pts)
+            S_lo = strip_reduce(lkey2, pts_l, K, k * 256, k * 256 + 1)
+            S_lo = tree_map(lambda a: a.reshape(a.shape[:-1] + (k, 256)), S_lo)
+            w_lo = small_weighted(S_lo, 256)  # (.., k, 1): sum v*S
+            total = fold_sum(S_lo, 256)  # (.., k, 1): sum S (the +1 term)
+            # combine: 256*w_hi + w_lo + total
+            w_hi = jax.lax.fori_loop(0, 8, lambda i, a: ops.double(a), w_hi)
+            out = ops.add(ops.add(w_hi, w_lo), total)
+            return tree_map(lambda a: a[..., 0], out)  # (.., k)
+
+        debug_stop = getattr(self, "_debug_stop", None)
+
+        def per_window(xs):
+            key, sign = xs
             if use_strips:
-                aff = gather_points(order)
-                buckets = strip_buckets(skey, aff)
+                outs = jax.lax.sort(
+                    (key, sign.astype(jnp.uint32)) + packed_rows, num_keys=1
+                )
+                skey, ssgn = outs[0], outs[1]
+                Xg, Yg = unpack_rows(outs[2:])
+                Yg = ops.fa.select(ssgn == 1, ops.fa.neg(Yg), Yg)
+                if debug_stop == "gather":  # phase profiling (scripts/)
+                    z = ops.from_affine((Xg, Yg))
+                    return tree_map(
+                        lambda a: jnp.broadcast_to(
+                            a[..., :1], a.shape[:-1] + (k,)
+                        ),
+                        z,
+                    )
+                fkeys, fpts = strip_flush(
+                    skey, (Xg, Yg), C, R, BK + 1, mixed=True
+                )
+                if debug_stop == "strip":
+                    return tree_map(
+                        lambda a: jnp.broadcast_to(
+                            a[..., :1], a.shape[:-1] + (k,)
+                        ),
+                        fpts,
+                    )
+                if c - 1 > 8 and Bp >= 1024:
+                    return weighted_from_records(fkeys, fpts)
+                K = min((R + 1) * C, BK + C)
+                ridx = jnp.argsort(fkeys)[:K]
+                buckets = log_scan_buckets(
+                    fkeys[ridx],
+                    tree_map(lambda a: a[..., ridx], fpts),
+                    K,
+                    BK,
+                    BK + 1,
+                )
             else:
-                pts = tree_map(lambda a: a[..., order], ops.from_affine(aff0))
-                buckets = log_scan_buckets(skey, pts, M)
-            # (.., kB) -> (.., k, B): per-poly weighting, batch-k point out
+                order = jnp.argsort(key)
+                skey = key[order]
+                sgn = sign[order]
+                X0, Y0, inf0 = aff0
+                pts = ops.from_affine(
+                    tree_map(lambda a: a[..., order], (X0, Y0))
+                    + (inf0[..., order],)
+                )
+                Yn = ops.fa.select(sgn, ops.fa.neg(pts[1]), pts[1])
+                pts = (pts[0], Yn, pts[2])
+                buckets = log_scan_buckets(skey, pts, M, BK, BK + 1)
+            # (.., kB') -> (.., k, B'): per-poly weighting, batch-k point out
             buckets = tree_map(
-                lambda a: a.reshape(a.shape[:-1] + (k, B)), buckets
+                lambda a: a.reshape(a.shape[:-1] + (k, Bp)), buckets
             )
             out = weighted_buckets(buckets)  # (.., k, 1)
             return tree_map(lambda a: a[..., 0], out)  # (.., k)
@@ -475,13 +642,13 @@ class MSM:
         #    batch <= window_batch that DIVIDES n_windows (a remainder chunk
         #    would compile a second program).
         if jax.default_backend() == "tpu":
-            wsums = jax.lax.map(per_window, digits)
+            wsums = jax.lax.map(per_window, (digits, signs))
         else:
             wb = 1
             for d in range(1, min(self.window_batch, self.n_windows) + 1):
                 if self.n_windows % d == 0:
                     wb = d
-            wsums = jax.lax.map(per_window, digits, batch_size=wb)
+            wsums = jax.lax.map(per_window, (digits, signs), batch_size=wb)
 
         # Horner from the top window down: acc = 2^c * acc + wsum[w]
         acc0 = tree_map(lambda a: a[self.n_windows - 1], wsums)
