@@ -85,6 +85,7 @@ class NTT:
             self._bitrev = jnp.asarray(bit_reverse_perm(n))
         self._n_inv = f.const(d.n_inv, mont=True)
         self._bfly_fused = None
+        self._bfly4_fused = None
         # coset scale tables (shift^i, and shift^-i pre-scaled by nothing)
         self._coset = None
         self._coset_inv = None
@@ -196,27 +197,104 @@ class NTT:
             return f.add(e, t), f.sub(e, t)
         return fb(e, o, tw)
 
+    def _butterfly4(self, x0, x1, x2, x3, w1, w2a, w2b):
+        """Fused RADIX-4 step = two DIT radix-2 stages in ONE kernel on
+        flat (L, N) arrays: 4 muls (two stacked mul calls) + 8 add/sub.
+
+        Halves the per-stage HBM round trips of the value arrays and the
+        inter-stage stack/reshape copies — the four-step NTT at 2^22 was
+        ~55% non-compute overhead in the per-stage radix-2 form."""
+        f = self.field
+        fb = self._bfly4_fused
+        if fb is None:
+            from ..fields.fuse import fuse
+
+            def step(x0, x1, x2, x3, w1, w2a, w2b):
+                st = jnp.stack
+                T = f.mul(st([x1, x3], axis=1), st([w1, w1], axis=1))
+                t1, t3 = T[:, 0], T[:, 1]
+                Y = f.add(st([x0, x2], axis=1), st([t1, t3], axis=1))
+                Z = f.sub(st([x0, x2], axis=1), st([t1, t3], axis=1))
+                y0, y2 = Y[:, 0], Y[:, 1]
+                y1, y3 = Z[:, 0], Z[:, 1]
+                U = f.mul(st([y2, y3], axis=1), st([w2a, w2b], axis=1))
+                u2, u3 = U[:, 0], U[:, 1]
+                P = f.add(st([y0, y1], axis=1), st([u2, u3], axis=1))
+                Q = f.sub(st([y0, y1], axis=1), st([u2, u3], axis=1))
+                # z0 = y0+u2, z1 = y1+u3, z2 = y0-u2, z3 = y1-u3
+                return P[:, 0], P[:, 1], Q[:, 0], Q[:, 1]
+
+            fb = self._bfly4_fused = fuse(step)
+        import jax as _jax
+
+        if _jax.default_backend() != "tpu":
+            t1 = self.field.mul(x1, w1)
+            t3 = self.field.mul(x3, w1)
+            y0, y1 = self.field.add(x0, t1), self.field.sub(x0, t1)
+            y2, y3 = self.field.add(x2, t3), self.field.sub(x2, t3)
+            u2 = self.field.mul(y2, w2a)
+            u3 = self.field.mul(y3, w2b)
+            return (
+                self.field.add(y0, u2),
+                self.field.add(y1, u3),
+                self.field.sub(y0, u2),
+                self.field.sub(y1, u3),
+            )
+        return fb(x0, x1, x2, x3, w1, w2a, w2b)
+
     def _stages_mid(self, x, table, k: int):
         """DIT butterflies along axis -2 of x (L, *mid, A, B), pre-bit-
         reversed along that axis; twiddles from the sub-NTT's packed table.
         The minor axis B rides along untouched, so every intermediate keeps
-        a large trailing dim (TPU layout-friendly; see class docstring)."""
+        a large trailing dim (TPU layout-friendly; see class docstring).
+        Stages run in PAIRS through the fused radix-4 kernel (_butterfly4);
+        an odd final stage falls back to the radix-2 kernel."""
         f = self.field
         L = f.n
         *lead, A, B = x.shape
         mid = tuple(lead[1:])
-        for s in range(k):
+        s = 0
+        while s + 1 < k:
+            half = 1 << s
+            groups = A // (4 * half)
+            v = x.reshape((L,) + mid + (groups, 4, half, B))
+            xs = [v[..., i, :, :] for i in range(4)]  # (L,*mid,groups,half,B)
+            shp = xs[0].shape
+
+            def bc(tw_slice, width):
+                return jnp.broadcast_to(
+                    tw_slice.reshape((L,) + (1,) * len(mid) + (1, width, 1)),
+                    shp,
+                )
+
+            w1 = bc(
+                jax.lax.slice_in_dim(table, half - 1, 2 * half - 1, 1, axis=1),
+                half,
+            )
+            w2 = jax.lax.slice_in_dim(
+                table, 2 * half - 1, 4 * half - 1, 1, axis=1
+            )
+            w2a = bc(jax.lax.slice_in_dim(w2, 0, half, 1, axis=1), half)
+            w2b = bc(jax.lax.slice_in_dim(w2, half, 2 * half, 1, axis=1), half)
+            outs = self._butterfly4(
+                *[a.reshape(L, -1) for a in xs],
+                w1.reshape(L, -1),
+                w2a.reshape(L, -1),
+                w2b.reshape(L, -1),
+            )
+            outs = [o.reshape(shp) for o in outs]
+            x = jnp.stack(outs, axis=-3).reshape((L,) + mid + (A, B))
+            s += 2
+        if s < k:
             half = 1 << s
             groups = A // (2 * half)
             v = x.reshape((L,) + mid + (groups, 2, half, B))
-            e = v[..., 0, :, :]  # (L, *mid, groups, half, B)
+            e = v[..., 0, :, :]
             o = v[..., 1, :, :]
             tw = jax.lax.slice_in_dim(table, half - 1, 2 * half - 1, 1, axis=1)
             twf = jnp.broadcast_to(
                 tw.reshape((L,) + (1,) * len(mid) + (1, half, 1)), e.shape
             )
-            # flatten to (L, N) around the field ops: the Pallas batch tiler
-            # budgets VMEM by the trailing axis and keeps leading dims whole
             aa, bb = self._butterfly(
                 e.reshape(L, -1), o.reshape(L, -1), twf.reshape(L, -1)
             )
